@@ -1,0 +1,86 @@
+"""The training criterion: CE/BCE + Dice (+ boundary), exactly as the reference.
+
+Reference ``train.py:118-147``:
+
+* binary (n_classes == 1): targets are first integer-divided by 2
+  ({0,1,2} -> {0,1}, ``train.py:119``), then
+  ``BCEWithLogits(pred, t) + dice_loss(sigmoid(pred), t)
+    + 0.25 * boundary_loss(pred, t, edge_width=51, edge_weight=15)``.
+* multiclass: ``CrossEntropy(pred, t) + dice_loss(softmax(pred),
+  one_hot(t), multiclass=True)`` (the epoch-gated boundary term is commented
+  out in the reference and is exposed here behind ``multiclass_boundary``).
+
+Shapes are channel-last: logits [B, H, W, C], integer targets [B, H, W].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boundary import boundary_loss
+from .dice import dice_loss
+
+__all__ = ["LossConfig", "compute_loss", "cross_entropy", "bce_with_logits"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    n_classes: int = 3
+    boundary_weight: float = 0.25   # train.py:134
+    boundary_edge_width: int = 51
+    boundary_edge_weight: float = 15.0
+    multiclass_boundary: bool = False  # reference has this commented out
+
+
+def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean CE over all pixels (torch nn.CrossEntropyLoss default)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)
+    return -jnp.mean(picked)
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean BCEWithLogits (stable formulation)."""
+    x = logits.astype(jnp.float32)
+    z = targets.astype(jnp.float32)
+    return jnp.mean(jnp.maximum(x, 0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x))))
+
+
+def compute_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    cfg: LossConfig,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Compound loss + per-term metrics.  logits [B,H,W,C], targets int [B,H,W]."""
+    if cfg.n_classes == 1:
+        t = (targets // 2).astype(jnp.float32)  # {0,1,2} -> {0,1} (train.py:119)
+        pred = logits[..., 0]
+        ce = bce_with_logits(pred, t)
+        dl = dice_loss(jax.nn.sigmoid(pred.astype(jnp.float32)), t, multiclass=False)
+        bl = boundary_loss(
+            pred, t,
+            edge_width=cfg.boundary_edge_width,
+            edge_weight=cfg.boundary_edge_weight,
+        )
+        loss = ce + dl + cfg.boundary_weight * bl
+        return loss, {"ce": ce, "dice": dl, "boundary": bl, "loss": loss}
+
+    ce = cross_entropy(logits, targets)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(targets, cfg.n_classes, dtype=jnp.float32)
+    dl = dice_loss(probs, onehot, multiclass=True)
+    loss = ce + dl
+    metrics = {"ce": ce, "dice": dl, "loss": loss}
+    if cfg.multiclass_boundary:
+        bl = boundary_loss(
+            logits, targets.astype(jnp.float32),
+            edge_width=cfg.boundary_edge_width,
+            edge_weight=7.0,  # the commented-out reference value (train.py:147)
+        )
+        loss = loss + cfg.boundary_weight * bl
+        metrics.update({"boundary": bl, "loss": loss})
+    return loss, metrics
