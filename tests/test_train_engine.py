@@ -1,0 +1,220 @@
+"""Training-engine tests: step parity vs a torch reference loop, NaN guard,
+checkpoint roundtrip, and data-parallel == single-device equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unet_medical_image_contour_segmentation_tpu.engine.checkpoint import (
+    load_checkpoint, save_checkpoint,
+)
+from unet_medical_image_contour_segmentation_tpu.engine.optim import RMSpropConfig
+from unet_medical_image_contour_segmentation_tpu.engine.train import (
+    TrainState, init_train_state, make_train_step,
+)
+from unet_medical_image_contour_segmentation_tpu.losses.compound import LossConfig
+from unet_medical_image_contour_segmentation_tpu.models import torch_compat
+from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+
+def assert_params_close(got_leaves, want_leaves, before_leaves, lr, steps):
+    """Robust param comparison after RMSprop steps.
+
+    RMSprop normalizes each step to ~±10*lr, so an element with a near-zero
+    gradient whose *sign* flips under f32 rounding diverges by a full step —
+    an inherent sensitivity, not an implementation difference.  Check that the
+    typical divergence is a small fraction of the typical parameter movement
+    and that no element exceeds the per-step update bound.
+    """
+    diffs = np.concatenate([
+        np.abs(np.asarray(g, np.float64) - np.asarray(w, np.float64)).ravel()
+        for g, w in zip(got_leaves, want_leaves)
+    ])
+    moved = np.concatenate([
+        np.abs(np.asarray(w, np.float64) - np.asarray(b, np.float64)).ravel()
+        for w, b in zip(want_leaves, before_leaves)
+    ])
+    assert diffs.max() < 25 * lr * steps, "param moved beyond the RMSprop step bound"
+    assert np.median(diffs) < 0.05 * max(np.median(moved), lr), (
+        f"median divergence {np.median(diffs):.2e} vs median movement {np.median(moved):.2e}"
+    )
+
+
+def _batch(seed=0, b=2, hw=32):
+    rng = np.random.default_rng(seed)
+    return {
+        "image": rng.random((b, hw, hw, 1), np.float32),
+        "mask": rng.integers(0, 3, (b, hw, hw)).astype(np.int32),
+    }
+
+
+def test_train_step_runs_and_reduces_loss():
+    model = unet_t(1, 3)
+    state = init_train_state(model, jax.random.PRNGKey(0))
+    cfg = RMSpropConfig(learning_rate=1e-3)
+    step = jax.jit(make_train_step(model, LossConfig(n_classes=3), cfg))
+    batch = _batch()
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch, 1e-3)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 5
+
+
+def test_train_step_parity_vs_torch(reference_path):
+    """3 full optimization steps vs the reference training computation."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from unet.unet_model import UNet_T
+    from utils.dice_score import dice_loss as ref_dice_loss
+
+    torch.manual_seed(0)
+    tm = UNet_T(n_channels=1, n_classes=3, bilinear=False)
+    sd = {k: v.detach().numpy().copy() for k, v in tm.state_dict().items()}
+    params, bn_state, _ = torch_compat.params_from_torch_state_dict(sd)
+
+    opt = torch.optim.RMSprop(tm.parameters(), lr=1e-4, weight_decay=1e-8, momentum=0.999)
+    criterion = torch.nn.CrossEntropyLoss()
+
+    model = unet_t(1, 3)
+    state = TrainState(
+        params=jax.tree.map(jnp.asarray, params),
+        bn_state=jax.tree.map(jnp.asarray, bn_state),
+        opt_state={
+            "square_avg": jax.tree.map(jnp.zeros_like, params),
+            "momentum_buf": jax.tree.map(jnp.zeros_like, params),
+        },
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = jax.jit(make_train_step(
+        model, LossConfig(n_classes=3), RMSpropConfig(learning_rate=1e-4), clipping=1.0
+    ))
+
+    tm.train()
+    for i in range(3):
+        batch = _batch(seed=i)
+        img_t = torch.from_numpy(batch["image"]).permute(0, 3, 1, 2)
+        msk_t = torch.from_numpy(batch["mask"]).long()
+        pred = tm(img_t)
+        loss = criterion(pred, msk_t) + ref_dice_loss(
+            F.softmax(pred, dim=1).float(),
+            F.one_hot(msk_t, 3).permute(0, 3, 1, 2).float(),
+            multiclass=True,
+        )
+        opt.zero_grad(set_to_none=True)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tm.parameters(), 1.0)
+        opt.step()
+
+        state, metrics = step(state, batch, 1e-4)
+        assert float(metrics["loss"]) == pytest.approx(loss.item(), rel=1e-4)
+
+    # parameters after 3 steps
+    final_sd = {k: v.detach().numpy().copy() for k, v in tm.state_dict().items()}
+    expect_params, expect_bn, _ = torch_compat.params_from_torch_state_dict(final_sd)
+    assert_params_close(
+        jax.tree.leaves(state.params),
+        jax.tree.leaves(jax.tree.map(np.asarray, expect_params)),
+        jax.tree.leaves(jax.tree.map(np.asarray, params)),
+        lr=1e-4, steps=3,
+    )
+    # BN running stats stay in the same ballpark (exact single-step parity is
+    # covered by test_model_parity::test_forward_train_parity_and_bn_updates;
+    # after 3 steps the param drift above feeds back into the activations).
+    for g, w in zip(jax.tree.leaves(state.bn_state), jax.tree.leaves(expect_bn)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=0.1, atol=1e-2)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = unet_t(1, 3)
+    state = init_train_state(model, jax.random.PRNGKey(1))
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(
+        path, state.params, state.bn_state, state.opt_state,
+        step=7, mask_values=[0, 128, 255],
+    )
+    ck = load_checkpoint(path)
+    assert ck["step"] == 7
+    assert ck["mask_values"] == [0, 128, 255]
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(ck["params"])):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(ck["opt_state"])):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_pth_checkpoint_roundtrip(tmp_path, reference_path):
+    torch = pytest.importorskip("torch")
+    model = unet_t(1, 3)
+    state = init_train_state(model, jax.random.PRNGKey(2))
+    path = str(tmp_path / "ck.pth")
+    save_checkpoint(path, state.params, state.bn_state, mask_values=[0, 128, 255])
+    from unet_medical_image_contour_segmentation_tpu.engine.checkpoint import load_weights
+
+    params, bn_state, mv = load_weights(path)
+    assert mv == [0, 128, 255]
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+class TestDataParallel:
+    def test_parallel_step_matches_single_device(self):
+        from unet_medical_image_contour_segmentation_tpu.parallel import (
+            batch_sharding, make_data_mesh, make_parallel_train_step, replicate,
+        )
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >=4 virtual devices")
+        mesh = make_data_mesh(4)
+        model = unet_t(1, 3)
+        loss_cfg = LossConfig(n_classes=3)
+        opt_cfg = RMSpropConfig(learning_rate=1e-4)
+
+        state0 = init_train_state(model, jax.random.PRNGKey(3))
+        batch = _batch(seed=9, b=8, hw=32)
+
+        # single device
+        single = jax.jit(make_train_step(model, loss_cfg, opt_cfg))
+        s1, m1 = single(state0, batch, 1e-4)
+
+        # 4-way data parallel
+        pstep = make_parallel_train_step(model, loss_cfg, opt_cfg, mesh, donate=False)
+        state_r = replicate(init_train_state(model, jax.random.PRNGKey(3)), mesh)
+        sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+        s2, m2 = pstep(state_r, sharded_batch, 1e-4)
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+        assert float(m1["grad_norm"]) == pytest.approx(float(m2["grad_norm"]), rel=1e-4)
+        assert_params_close(
+            jax.tree.leaves(s2.params), jax.tree.leaves(s1.params),
+            jax.tree.leaves(state0.params), lr=1e-4, steps=1,
+        )
+        # cross-replica BN: running stats must match the global-batch stats
+        for a, b in zip(jax.tree.leaves(s1.bn_state), jax.tree.leaves(s2.bn_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    def test_parallel_eval_step(self):
+        from unet_medical_image_contour_segmentation_tpu.parallel import (
+            batch_sharding, make_data_mesh, make_parallel_eval_step, replicate,
+        )
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >=2 virtual devices")
+        mesh = make_data_mesh(2)
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(0))
+        image = np.random.default_rng(0).random((4, 32, 32, 1), np.float32)
+
+        estep = make_parallel_eval_step(model, 3, mesh)
+        pred = estep(
+            replicate(params, mesh), replicate(bn_state, mesh),
+            jax.device_put(image, batch_sharding(mesh)),
+        )
+        # reference: unsharded jit forward
+        logits, _ = model.apply(params, bn_state, jnp.asarray(image), train=False)
+        np.testing.assert_array_equal(
+            np.asarray(pred), np.asarray(jnp.argmax(logits, axis=-1))
+        )

@@ -1,0 +1,235 @@
+"""Training engine: one jitted step + the reference's full training loop.
+
+Reference: ``/root/reference/train.py:29-220``.  The torch eager loop
+(autocast + GradScaler + per-step .item() syncs) becomes a single compiled
+XLA program per step: forward (bf16 MXU compute), compound loss, backward,
+global-norm clip, torch-parity RMSprop — all fused by XLA, no loss scaling
+needed on TPU.  Loop behavior preserved:
+
+* NaN-loss hard abort (train.py:149-151) — checked with one step of delay so
+  the guard never stalls the device pipeline;
+* validation once per epoch (division_step == steps/epoch, train.py:175-177)
+  followed by the scheduler-quirk LR update (``scheduler.step(val_score)``,
+  train.py:187);
+* checkpoints every 5th epoch past the halfway point, carrying
+  ``mask_values`` (train.py:208-216), plus the final save (train.py:220);
+* OOM fallback -> rematerialized blocks (the reference's use_checkpointing
+  retry, train.py:294-309) via ``remat=True``.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig
+from ..losses.compound import LossConfig, compute_loss
+from .checkpoint import save_checkpoint
+from .evaluate import evaluate, make_eval_step
+from .optim import RMSpropConfig, clip_by_global_norm, init_rmsprop, rmsprop_update, warm_restarts_lr
+
+log = logging.getLogger(__name__)
+
+__all__ = ["TrainState", "make_train_step", "train_model", "init_train_state"]
+
+
+class TrainState(NamedTuple):
+    params: dict
+    bn_state: dict
+    opt_state: dict
+    step: jnp.ndarray
+
+
+def init_train_state(model, key, opt_cfg: Optional[RMSpropConfig] = None) -> TrainState:
+    params, bn_state = model.init(key)
+    return TrainState(
+        params=params,
+        bn_state=bn_state,
+        opt_state=init_rmsprop(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    model,
+    loss_cfg: LossConfig,
+    opt_cfg: RMSpropConfig,
+    clipping: float = 1.0,
+    axis_name: Optional[str] = None,
+):
+    """Pure (state, batch, lr) -> (state', metrics).  jit/shard_map it yourself
+    or use the jitted wrapper from train_model / parallel.data_parallel."""
+
+    def step_fn(state: TrainState, batch, lr):
+        def loss_fn(params):
+            logits, new_bn = model.apply(
+                params, state.bn_state, batch["image"], train=True, axis_name=axis_name
+            )
+            loss, metrics = compute_loss(logits, batch["mask"], loss_cfg, axis_name=axis_name)
+            return loss, (new_bn, metrics)
+
+        grads, (new_bn, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        grads, gnorm = clip_by_global_norm(grads, clipping)
+        new_params, new_opt = rmsprop_update(state.params, grads, state.opt_state, opt_cfg, lr)
+        metrics = dict(metrics, grad_norm=gnorm, lr=jnp.asarray(lr, jnp.float32))
+        return TrainState(new_params, new_bn, new_opt, state.step + 1), metrics
+
+    return step_fn
+
+
+def train_model(
+    cfg: TrainConfig,
+    model=None,
+    train_set=None,
+    val_set=None,
+    state: Optional[TrainState] = None,
+    mask_values=None,
+):
+    """Full training loop.  Returns the final TrainState.
+
+    ``train_set``/``val_set`` follow the BasicDataset protocol; when omitted
+    they are built from ``cfg.data_root`` with the reference's directory
+    layout (imgs/train, masks/train, imgs/val, masks/val — train.py:22-27).
+    """
+    from ..data.dataset import BasicDataset
+    from ..data.loader import DataLoader, prefetch_to_device
+    from ..models.unet import get_model
+
+    if model is None:
+        model = get_model(
+            cfg.model,
+            n_channels=cfg.n_channels,
+            n_classes=cfg.classes,
+            bilinear=cfg.bilinear,
+            remat=cfg.remat,
+            compute_dtype=jnp.bfloat16 if cfg.amp else None,
+        )
+    if train_set is None:
+        root = Path(cfg.data_root)
+        train_set = BasicDataset(root / "imgs/train", root / "masks/train", cfg.scale,
+                                 augment=cfg.augment)
+        val_set = BasicDataset(root / "imgs/val", root / "masks/val", cfg.scale,
+                               augment=cfg.augment)
+    if mask_values is None:
+        mask_values = list(getattr(train_set, "mask_values", [])) + list(
+            getattr(val_set, "mask_values", [])
+        )
+
+    train_loader = DataLoader(
+        train_set, cfg.batch_size, shuffle=True, num_workers=cfg.num_workers, seed=cfg.seed
+    )
+    val_loader = DataLoader(
+        val_set, cfg.batch_size, shuffle=False, drop_last=True, num_workers=cfg.num_workers
+    )
+    n_train = len(train_set)
+
+    log.info(
+        "Starting training: epochs=%d batch=%d lr=%g scale=%g amp(bf16)=%s model=%s",
+        cfg.epochs, cfg.batch_size, cfg.learning_rate, cfg.scale, cfg.amp, model.name,
+    )
+
+    loss_cfg = LossConfig(
+        n_classes=model.n_classes,
+        boundary_weight=cfg.boundary_weight,
+        boundary_edge_width=cfg.boundary_edge_width,
+        boundary_edge_weight=cfg.boundary_edge_weight,
+    )
+    opt_cfg = RMSpropConfig(
+        learning_rate=cfg.learning_rate,
+        weight_decay=cfg.weight_decay,
+        momentum=cfg.momentum,
+    )
+
+    if state is None:
+        state = init_train_state(model, jax.random.PRNGKey(cfg.seed), opt_cfg)
+
+    step_fn = jax.jit(
+        make_train_step(model, loss_cfg, opt_cfg, cfg.gradient_clipping),
+        donate_argnums=(0,),
+    )
+    eval_step = make_eval_step(model, model.n_classes)
+
+    lr = cfg.learning_rate  # scheduler sets base lr at construction
+    global_step = 0
+    pending = None  # (step_idx, device metrics) — NaN check with 1-step delay
+
+    def check_nan(item):
+        step_idx, metrics = item
+        loss_val = float(metrics["loss"])
+        if not np.isfinite(loss_val):
+            raise RuntimeError("Fatal: NaN loss detected!")
+        return loss_val
+
+    for epoch in range(1, cfg.epochs + 1):
+        epoch_loss = 0.0
+        epoch_pred_dir = None
+        if cfg.save_val_predictions:
+            epoch_pred_dir = Path(cfg.predictions_dir) / f"epoch_{epoch}"
+            epoch_pred_dir.mkdir(parents=True, exist_ok=True)
+
+        t0 = time.perf_counter()
+        n_seen = 0
+        for batch in prefetch_to_device(iter(train_loader)):
+            if batch["image"].shape[-1] != model.n_channels:
+                raise AssertionError(
+                    f"Network has been defined with {model.n_channels} input channels, "
+                    f"but loaded images have {batch['image'].shape[-1]} channels."
+                )
+            state, metrics = step_fn(state, batch, lr)
+            global_step += 1
+            n_seen += batch["image"].shape[0]
+            if pending is not None:
+                epoch_loss += check_nan(pending)
+            pending = (global_step, metrics)
+            if cfg.log_every and global_step % cfg.log_every == 0:
+                log.info("epoch %d step %d loss(total)=%.5f", epoch, global_step, epoch_loss)
+        if pending is not None:
+            epoch_loss += check_nan(pending)
+            pending = None
+        dt = time.perf_counter() - t0
+        log.info(
+            "epoch %d done: loss(total)=%.5f %.2f slices/s",
+            epoch, epoch_loss, n_seen / max(dt, 1e-9),
+        )
+
+        # validation once per epoch (the reference's division_step cadence)
+        val_score, val_post, min_val = evaluate(
+            model, state.params, state.bn_state, val_loader,
+            epoch_pred_dir=str(epoch_pred_dir) if epoch_pred_dir else None,
+            postprocess=cfg.val_postprocess,
+            eval_step=eval_step,
+        )
+        log.info("Validation Dice score: %s", val_score)
+        log.info("Validation Postprocessed Dice score: %s", val_post)
+        log.info("Validation Min Dice score: %s", min_val)
+
+        # scheduler step — faithful quirk passes the Dice score as the epoch
+        sched_t = val_score if cfg.scheduler_quirk else float(epoch)
+        lr = float(warm_restarts_lr(
+            sched_t, cfg.learning_rate,
+            T_0=cfg.sched_t0, T_mult=cfg.sched_t_mult, eta_min=cfg.sched_eta_min,
+        ))
+
+        if cfg.save_checkpoint and epoch > cfg.epochs * cfg.checkpoint_after_frac:
+            if epoch % cfg.checkpoint_every == 0:
+                Path(cfg.dir_checkpoint).mkdir(parents=True, exist_ok=True)
+                path = str(Path(cfg.dir_checkpoint) / f"checkpoint_epoch{epoch}.npz")
+                save_checkpoint(
+                    path, state.params, state.bn_state, state.opt_state,
+                    step=int(state.step), mask_values=mask_values,
+                )
+                log.info("Checkpoint %d saved!", epoch)
+
+    save_checkpoint(
+        f"model_epoch{cfg.epochs}.npz", state.params, state.bn_state, state.opt_state,
+        step=int(state.step), mask_values=mask_values,
+    )
+    return state

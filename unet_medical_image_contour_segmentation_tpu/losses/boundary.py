@@ -62,7 +62,7 @@ def _extract_boundary_strip(strip: jnp.ndarray, kernel_size: int = 3) -> jnp.nda
     return (dilated != eroded).astype(jnp.float32)
 
 
-def _regular_loss(pred_flat2d, target_flat2d, idx, smooth):
+def _regular_loss(pred_flat2d, target_flat2d, idx, smooth, axis_name=None):
     """Reference _compute_regular_loss over a static region (boundary_loss.py:62-95)."""
     if idx.size == 0:
         return jnp.float32(0.0)
@@ -74,6 +74,10 @@ def _regular_loss(pred_flat2d, target_flat2d, idx, smooth):
 
     intersection = jnp.sum(pred_boundary * target_boundary)
     union = jnp.sum(pred_boundary) + jnp.sum(target_boundary) - intersection
+    if axis_name is not None:
+        # global-batch semantics under data-parallel sharding
+        intersection = jax.lax.psum(intersection, axis_name)
+        union = jax.lax.psum(union, axis_name)
     iou = (intersection + smooth) / (union + smooth)
 
     # Reference quirk (boundary_loss.py:92-93): the BCE compares the two
@@ -83,11 +87,16 @@ def _regular_loss(pred_flat2d, target_flat2d, idx, smooth):
     # a differentiable-graph constant that only shifts the loss value.
     p = jnp.clip(pred_boundary, 1e-6, 1 - 1e-6)
     logits = jnp.log(p / (1 - p))
-    bce = jnp.sum(
+    bce_sum = jnp.sum(
         jnp.maximum(logits, 0)
         - logits * target_boundary
         + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    ) / pred_boundary.shape[0]
+    )
+    count = jnp.float32(pred_boundary.shape[0])
+    if axis_name is not None:
+        bce_sum = jax.lax.psum(bce_sum, axis_name)
+        count = jax.lax.psum(count, axis_name)
+    bce = bce_sum / count
 
     return (1.0 - iou) + 0.5 * bce
 
@@ -98,17 +107,23 @@ def boundary_loss(
     edge_width: int = 64,
     edge_weight: float = 5.0,
     smooth: float = 1e-6,
+    axis_name=None,
 ) -> jnp.ndarray:
     """Weighted border-frame boundary loss.
 
     pred_mask: [B, H, W] or channel-last [B, H, W, C] (C > 1 -> channel 1).
     target_mask: [B, H, W].
+    axis_name: data-parallel mesh axis for global-batch reductions.
     """
     if pred_mask.ndim == 4:
         pred_mask = pred_mask[..., 1] if pred_mask.shape[-1] > 1 else pred_mask[..., 0]
     pred_mask = pred_mask.astype(jnp.float32)
 
-    looks_like_logits = (jnp.min(pred_mask) < -10) | (jnp.max(pred_mask) > 10)
+    mn, mx = jnp.min(pred_mask), jnp.max(pred_mask)
+    if axis_name is not None:
+        mn = jax.lax.pmin(mn, axis_name)
+        mx = jax.lax.pmax(mx, axis_name)
+    looks_like_logits = (mn < -10) | (mx > 10)
     pred_mask = jnp.where(looks_like_logits, jax.nn.sigmoid(pred_mask), pred_mask)
 
     b, h, w = pred_mask.shape
@@ -118,6 +133,6 @@ def boundary_loss(
     pred2d = pred_mask.reshape(b, h * w)
     targ2d = binary_target.reshape(b, h * w)
 
-    normal_loss = _regular_loss(pred2d, targ2d, interior_idx, smooth)
-    edge_loss = _regular_loss(pred2d, targ2d, edge_idx, smooth)
+    normal_loss = _regular_loss(pred2d, targ2d, interior_idx, smooth, axis_name)
+    edge_loss = _regular_loss(pred2d, targ2d, edge_idx, smooth, axis_name)
     return (normal_loss + edge_weight * edge_loss) / (1.0 + edge_weight)

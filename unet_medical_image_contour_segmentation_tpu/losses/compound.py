@@ -36,43 +36,60 @@ class LossConfig:
     multiclass_boundary: bool = False  # reference has this commented out
 
 
-def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def _mean(x: jnp.ndarray, axis_name) -> jnp.ndarray:
+    m = jnp.mean(x)
+    if axis_name is not None:
+        m = jax.lax.pmean(m, axis_name)  # equal shard sizes -> exact global mean
+    return m
+
+
+def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """Mean CE over all pixels (torch nn.CrossEntropyLoss default)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     picked = jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)
-    return -jnp.mean(picked)
+    return -_mean(picked, axis_name)
 
 
-def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """Mean BCEWithLogits (stable formulation)."""
     x = logits.astype(jnp.float32)
     z = targets.astype(jnp.float32)
-    return jnp.mean(jnp.maximum(x, 0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x))))
+    return _mean(jnp.maximum(x, 0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x))), axis_name)
 
 
 def compute_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,
     cfg: LossConfig,
+    axis_name=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Compound loss + per-term metrics.  logits [B,H,W,C], targets int [B,H,W]."""
+    """Compound loss + per-term metrics.  logits [B,H,W,C], targets int [B,H,W].
+
+    With ``axis_name`` set (inside shard_map over a data mesh axis) every term
+    reduces over the *global* batch, so the loss and its gradients match a
+    single device seeing the unsharded batch.
+    """
     if cfg.n_classes == 1:
         t = (targets // 2).astype(jnp.float32)  # {0,1,2} -> {0,1} (train.py:119)
         pred = logits[..., 0]
-        ce = bce_with_logits(pred, t)
-        dl = dice_loss(jax.nn.sigmoid(pred.astype(jnp.float32)), t, multiclass=False)
+        ce = bce_with_logits(pred, t, axis_name)
+        dl = dice_loss(
+            jax.nn.sigmoid(pred.astype(jnp.float32)), t,
+            multiclass=False, axis_name=axis_name,
+        )
         bl = boundary_loss(
             pred, t,
             edge_width=cfg.boundary_edge_width,
             edge_weight=cfg.boundary_edge_weight,
+            axis_name=axis_name,
         )
         loss = ce + dl + cfg.boundary_weight * bl
         return loss, {"ce": ce, "dice": dl, "boundary": bl, "loss": loss}
 
-    ce = cross_entropy(logits, targets)
+    ce = cross_entropy(logits, targets, axis_name)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     onehot = jax.nn.one_hot(targets, cfg.n_classes, dtype=jnp.float32)
-    dl = dice_loss(probs, onehot, multiclass=True)
+    dl = dice_loss(probs, onehot, multiclass=True, axis_name=axis_name)
     loss = ce + dl
     metrics = {"ce": ce, "dice": dl, "loss": loss}
     if cfg.multiclass_boundary:
@@ -80,6 +97,7 @@ def compute_loss(
             logits, targets.astype(jnp.float32),
             edge_width=cfg.boundary_edge_width,
             edge_weight=7.0,  # the commented-out reference value (train.py:147)
+            axis_name=axis_name,
         )
         loss = loss + cfg.boundary_weight * bl
         metrics.update({"boundary": bl, "loss": loss})

@@ -19,6 +19,7 @@ channel position irrelevant for the loss value).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = ["dice_coeff", "multiclass_dice_coeff", "dice_loss"]
 
@@ -70,14 +71,23 @@ def _spatial(x):
     return x.shape[2:] if x.ndim == 4 else x.shape[1:]
 
 
-def dice_loss(input: jnp.ndarray, target: jnp.ndarray, multiclass: bool = False) -> jnp.ndarray:
+def dice_loss(
+    input: jnp.ndarray,
+    target: jnp.ndarray,
+    multiclass: bool = False,
+    axis_name=None,
+    epsilon: float = 1e-6,
+) -> jnp.ndarray:
     """1 - global dice.  For multiclass pass channel-last [B, H, W, C] — the
-    global reduction makes it equal to the reference's [B, C, H, W] call."""
-    if multiclass and input.ndim == 4:
-        # Global sums are layout-invariant; flatten everything into one "image".
-        b = input.shape[0]
-        input = input.reshape(b, -1, 1)
-        target = target.reshape(b, -1, 1)
-        return 1.0 - dice_coeff(input, target, reduce_batch_first=True)
-    fn = multiclass_dice_coeff if multiclass else dice_coeff
-    return 1.0 - fn(input, target, reduce_batch_first=True)
+    global reduction makes it equal to the reference's [B, C, H, W] call.
+
+    ``axis_name``: inside shard_map over a data mesh axis, the global sums are
+    psum'd across shards *before* the ratio, so data-parallel training gets
+    bitwise-equivalent loss/gradients to a single device seeing the full batch.
+    """
+    inter = 2 * jnp.sum(input * target)
+    sets_sum = jnp.sum(input) + jnp.sum(target)
+    if axis_name is not None:
+        inter = lax.psum(inter, axis_name)
+        sets_sum = lax.psum(sets_sum, axis_name)
+    return 1.0 - _dice(inter, sets_sum, epsilon)
