@@ -1,0 +1,51 @@
+"""StableHLO export tests: roundtrip, dynamic shapes, value parity."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from unet_medical_image_contour_segmentation_tpu.engine.export import (
+    export_stablehlo, load_exported, sanity_check,
+)
+from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+
+def _model():
+    model = unet_t(1, 3, bilinear=False)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    return model, params, bn_state
+
+
+def test_static_export_roundtrip():
+    model, params, bn_state = _model()
+    data = export_stablehlo(model, params, bn_state, example_hw=(64, 64),
+                            dynamic_batch=False, dynamic_hw=False,
+                            platforms=("cpu",))
+    assert isinstance(data, bytes) and len(data) > 1000
+    assert sanity_check(data, model, params, bn_state, hw=(64, 64))
+
+
+def test_dynamic_batch_and_hw_export():
+    model, params, bn_state = _model()
+    data = export_stablehlo(model, params, bn_state, platforms=("cpu",))
+    exported = load_exported(data)
+    for shape in [(1, 64, 64, 1), (3, 96, 128, 1)]:
+        x = np.random.default_rng(1).random(shape, np.float32)
+        got = exported.call(jnp.asarray(x))
+        want, _ = model.apply(params, bn_state, jnp.asarray(x), train=False)
+        assert got.shape == (*shape[:3], 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_bilinear_exports_static_hw():
+    model = unet_t(1, 3, bilinear=True)
+    params, bn_state = model.init(jax.random.PRNGKey(2))
+    data = export_stablehlo(model, params, bn_state, example_hw=(64, 64),
+                            platforms=("cpu",))  # dynamic batch, static hw
+    exported = load_exported(data)
+    x = np.random.default_rng(3).random((2, 64, 64, 1), np.float32)
+    got = exported.call(jnp.asarray(x))
+    want, _ = model.apply(params, bn_state, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)

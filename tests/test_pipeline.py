@@ -1,0 +1,238 @@
+"""Pipeline tests: per-stage parity vs reference tools + synthetic end-to-end run."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from unet_medical_image_contour_segmentation_tpu.pipeline.letterbox import (
+    PngDenormalizer, PngNormalizer, denormalize_image, normalize_image,
+)
+from unet_medical_image_contour_segmentation_tpu.pipeline.post_process import postprocess_mask
+from unet_medical_image_contour_segmentation_tpu.pipeline.raw2png import (
+    RawToPngConverter, apply_windowing,
+)
+from unet_medical_image_contour_segmentation_tpu.pipeline.raw_normalize import (
+    RawNormalizer, nearest_resize_reference,
+)
+
+
+def _write_raw(path, arr: np.ndarray):
+    with open(path, "wb") as f:
+        f.write(arr.astype("<u2").tobytes())
+
+
+class TestRaw2Png:
+    def test_windowing_matches_reference(self, reference_path, tmp_path):
+        from utils.raw2png import RawToPngConverter as RefConverter
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 65535, (64, 80), dtype=np.uint16)
+        raw = tmp_path / "scan.raw"
+        _write_raw(raw, img)
+
+        ref = RefConverter(str(raw), str(tmp_path / "ref"), width=80, height=64,
+                           window_length=30000, window_width=20000)
+        ref.convert()
+        ours = RawToPngConverter(str(raw), str(tmp_path / "ours"), width=80, height=64,
+                                 window_length=30000, window_width=20000)
+        ours.convert()
+
+        a = np.asarray(Image.open(tmp_path / "ref" / "scan.png"))
+        b = np.asarray(Image.open(tmp_path / "ours" / "scan.png"))
+        np.testing.assert_array_equal(a, b)
+
+    def test_windowing_function(self):
+        img = np.array([[0, 20000, 40000, 65535]], dtype=np.uint16)
+        out = apply_windowing(img, window_length=30000, window_width=20000)
+        assert out.dtype == np.uint8
+        assert out[0, 0] == 0 and out[0, 3] == 255
+
+
+class TestLetterbox:
+    @pytest.mark.parametrize("size", [(100, 60), (60, 100), (512, 512), (777, 333)])
+    def test_normalize_matches_reference(self, reference_path, size, tmp_path):
+        from utils.png_normalize import PngNormalizer as RefNormalizer
+
+        rng = np.random.default_rng(1)
+        img = Image.fromarray(rng.integers(0, 255, size[::-1], dtype=np.uint8))
+        (tmp_path / "in").mkdir()
+        img.save(tmp_path / "in" / "a.png")
+
+        RefNormalizer(str(tmp_path / "in"), str(tmp_path / "ref")).normalize()
+        PngNormalizer(str(tmp_path / "in"), str(tmp_path / "ours")).normalize()
+
+        a = np.asarray(Image.open(tmp_path / "ref" / "a.png"))
+        b = np.asarray(Image.open(tmp_path / "ours" / "a.png"))
+        np.testing.assert_array_equal(a, b)
+        ja = json.load(open(tmp_path / "ref" / "original_sizes.json"))
+        jb = json.load(open(tmp_path / "ours" / "original_sizes.json"))
+        assert ja == jb
+
+    @pytest.mark.parametrize("size", [(100, 60), (60, 100), (321, 457)])
+    def test_denormalize_matches_reference(self, reference_path, size, tmp_path):
+        from utils.png_denormalize import PngDenormalizer as RefDenormalizer
+
+        rng = np.random.default_rng(2)
+        norm = Image.fromarray(rng.integers(0, 255, (512, 512), dtype=np.uint8))
+        (tmp_path / "in").mkdir()
+        norm.save(tmp_path / "in" / "a.png")
+        sizes = {"a.png": {"width": size[0], "height": size[1]}}
+        with open(tmp_path / "in" / "original_sizes.json", "w") as f:
+            json.dump(sizes, f)
+
+        RefDenormalizer(str(tmp_path / "in"), str(tmp_path / "ref"),
+                        str(tmp_path / "in" / "original_sizes.json")).denormalize()
+        PngDenormalizer(str(tmp_path / "in"), str(tmp_path / "ours"),
+                        str(tmp_path / "in" / "original_sizes.json")).denormalize()
+        a = np.asarray(Image.open(tmp_path / "ref" / "a.png"))
+        b = np.asarray(Image.open(tmp_path / "ours" / "a.png"))
+        np.testing.assert_array_equal(a, b)
+
+    def test_roundtrip(self):
+        img = Image.fromarray(np.full((60, 100), 200, dtype=np.uint8))
+        normalized = normalize_image(img)
+        assert normalized.size == (512, 512)
+        restored = denormalize_image(normalized, 100, 60)
+        assert restored.size == (100, 60)
+
+
+class TestRawNormalize:
+    def test_nearest_resize_matches_reference_loop(self):
+        rng = np.random.default_rng(3)
+        img = rng.random((37, 53)).astype(np.float32)
+        scale = 512 / 53
+        new_h, new_w = int(37 * scale), 512
+        fast = nearest_resize_reference(img, new_h, new_w, scale)
+        # the reference's double loop, evaluated directly
+        slow = np.zeros((new_h, new_w), np.float32)
+        for y in range(new_h):
+            for x in range(new_w):
+                slow[y, x] = img[min(int(y / scale), 36), min(int(x / scale), 52)]
+        np.testing.assert_array_equal(fast, slow)
+
+    def test_raw_normalizer(self, tmp_path):
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 65535, (48, 64), dtype=np.uint16)
+        _write_raw(tmp_path / "x.raw", img)
+        res = RawNormalizer(str(tmp_path), str(tmp_path / "out"),
+                            width=64, height=48).normalize()
+        assert res["processed"] == 1
+        arr = np.load(tmp_path / "out" / "x.npy")
+        assert arr.shape == (384, 512)
+        assert 0 <= arr.min() and arr.max() <= 1
+        sizes = json.load(open(tmp_path / "out" / "original_sizes.json"))
+        assert sizes["x.raw"] == {"width": 64, "height": 48}
+
+
+class TestPostProcess:
+    def test_matches_reference(self, reference_path):
+        from utils.post_process import postprocess_mask as ref_post
+
+        rng = np.random.default_rng(5)
+        mask = np.zeros((256, 256), np.uint8)
+        mask[20:200, 20:200] = 2          # big foreground with a hole
+        mask[80:120, 80:120] = 1          # internal background -> filled
+        mask[10:14, 230:234] = 2          # tiny noise blob -> removed
+        mask[mask == 0] = rng.integers(0, 2, (mask == 0).sum())
+
+        expect = ref_post(mask.copy(), min_area=1000)
+        got = postprocess_mask(mask.copy(), min_area=1000)
+        np.testing.assert_array_equal(got, expect)
+
+
+class TestEndToEnd:
+    def test_full_pipeline_synthetic_raw(self, tmp_path):
+        """RAW bytes -> 5 stages -> labelme JSON + overlay, random weights."""
+        import jax.numpy as jnp
+
+        from unet_medical_image_contour_segmentation_tpu.config import PipelineConfig
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+        from unet_medical_image_contour_segmentation_tpu.pipeline.seg_main import run_pipeline
+
+        w, h = 160, 128
+        rng = np.random.default_rng(6)
+        frame = rng.integers(20000, 40000, (h, w), dtype=np.uint16)
+        frame[40:90, 50:120] = 60000  # a bright blob to segment
+        raw_dir = tmp_path / "raws"
+        raw_dir.mkdir()
+        _write_raw(raw_dir / "scan1.raw", frame)
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(0))
+
+        class BlobPredictor(Predictor):
+            # random weights won't produce contours; threshold the input
+            # instead so the pipeline plumbing is fully exercised.
+            def predict_array(self, images, out_hw=None):
+                g = images[..., 0]
+                return (g > 0.7).astype(np.int32) * 2
+
+        cfg = PipelineConfig(
+            input_raw=str(raw_dir),
+            output_root=str(tmp_path / "results"),
+            width=w, height=h,
+            window_width=30000, window_length=35000,
+            model="unused",
+        )
+        out_dir = run_pipeline(cfg, predictor=BlobPredictor(model, params, bn_state))
+
+        for stage in ["1_raw_png", "2_normalized_png", "3_pred_masks",
+                      "4_denormalized_masks", "5_json_results"]:
+            assert os.listdir(tmp_path / "results" / stage), f"{stage} empty"
+
+        data = json.load(open(os.path.join(out_dir, "scan1.json")))
+        assert data["version"] == "1.0.2.799"
+        assert data["imageWidth"] == w and data["imageHeight"] == h
+        assert data["shapes"] and data["shapes"][0]["shape_type"] == "polygon"
+        assert os.path.exists(os.path.join(out_dir, "scan1_contour_overlay.png"))
+
+
+class TestPredictor:
+    def test_predict_paths_batches_and_saves(self, tmp_path):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor, mask_to_image,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        rng = np.random.default_rng(7)
+        files = []
+        for i in range(3):
+            p = tmp_path / f"img{i}.png"
+            Image.fromarray(rng.integers(0, 255, (64, 64), dtype=np.uint8)).save(p)
+            files.append(str(p))
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(1))
+        predictor = Predictor(model, params, bn_state, batch_size=2)
+        results = predictor.predict_paths(files, output_dir=str(tmp_path / "out"),
+                                          postprocess=False)
+        assert len(results) == 3
+        for i in range(3):
+            out = tmp_path / "out" / f"img{i}.png"
+            assert out.exists()
+            vals = set(np.unique(np.asarray(Image.open(out))))
+            assert vals <= {0, 128, 255}
+
+    def test_mask_to_image_value_map(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import mask_to_image
+
+        m = np.array([[0, 1], [2, 0]])
+        img = np.asarray(mask_to_image(m))
+        np.testing.assert_array_equal(img, [[0, 128], [255, 0]])
+
+    def test_predict_resizes_to_original(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(2))
+        predictor = Predictor(model, params, bn_state)
+        img = Image.fromarray(np.zeros((100, 60), dtype=np.uint8))
+        mask = predictor.predict_image(img, postprocess=False)
+        assert mask.shape == (100, 60)

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Train a UNet-family model for contour segmentation (TPU-native).
+
+CLI mirror of ``/root/reference/train.py:223-309``: same defaults
+(epochs=5, batch=1, lr=1e-5, scale=0.5, classes=3, bilinear off), ``--load``
+accepts reference .pth checkpoints (mask_values stripped), and the OOM
+fallback re-runs with rematerialized blocks — but the model variant is a
+``--model`` flag rather than comment-toggled code.
+"""
+
+import argparse
+import logging
+import sys
+
+
+def get_args():
+    parser = argparse.ArgumentParser(description="Train the UNet on images and target masks")
+    parser.add_argument("--epochs", "-e", metavar="E", type=int, default=5)
+    parser.add_argument("--batch-size", "-b", dest="batch_size", metavar="B", type=int, default=1)
+    parser.add_argument("--learning-rate", "-l", metavar="LR", type=float, default=1e-5, dest="lr")
+    parser.add_argument("--load", "-f", type=str, default=False, help="Load model from a .pth/.npz file")
+    parser.add_argument("--scale", "-s", type=float, default=0.5, help="Downscaling factor of the images")
+    parser.add_argument("--validation", "-v", dest="val", type=float, default=10.0,
+                        help="Percent of the data used as validation (0-100)")
+    parser.add_argument("--amp", action="store_true", default=True, help="Use bf16 mixed precision")
+    parser.add_argument("--bilinear", action="store_true", default=False, help="Use bilinear upsampling")
+    parser.add_argument("--classes", "-c", type=int, default=3, help="Number of classes")
+    parser.add_argument("--model", "-m", default="unet_s",
+                        choices=["unet", "unet_t", "unet_s", "unet_sa"],
+                        help="Model variant (reference default: unet_s)")
+    parser.add_argument("--data-root", default="data/data-without-black-shadow")
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="Data-parallel device count (default: single device)")
+    parser.add_argument("--remat", action="store_true", default=False,
+                        help="Rematerialize blocks (activation checkpointing)")
+    parser.add_argument("--no-scheduler-quirk", dest="scheduler_quirk", action="store_false",
+                        default=True, help="Step the LR schedule by epoch instead of by Dice")
+    return parser.parse_args()
+
+
+def main():
+    args = get_args()
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+
+    import jax
+
+    from unet_medical_image_contour_segmentation_tpu.config import TrainConfig
+    from unet_medical_image_contour_segmentation_tpu.engine.checkpoint import load_weights
+    from unet_medical_image_contour_segmentation_tpu.engine.train import train_model
+
+    logging.info("Using devices: %s", jax.devices())
+
+    cfg = TrainConfig(
+        model=args.model,
+        classes=args.classes,
+        bilinear=args.bilinear,
+        remat=args.remat,
+        data_root=args.data_root,
+        scale=args.scale,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        amp=args.amp,
+        scheduler_quirk=args.scheduler_quirk,
+        num_devices=args.num_devices,
+        load=args.load or None,
+    )
+
+    state = None
+    if cfg.load:
+        from unet_medical_image_contour_segmentation_tpu.engine.optim import init_rmsprop
+        from unet_medical_image_contour_segmentation_tpu.engine.train import TrainState
+        import jax.numpy as jnp
+
+        params, bn_state, _ = load_weights(cfg.load, bilinear=cfg.bilinear)
+        params = jax.tree.map(jnp.asarray, params)
+        state = TrainState(params, jax.tree.map(jnp.asarray, bn_state),
+                           init_rmsprop(params), jnp.zeros((), jnp.int32))
+        logging.info("Model loaded from %s", cfg.load)
+
+    try:
+        train_model(cfg, state=state)
+    except (RuntimeError, jax.errors.JaxRuntimeError) as e:
+        if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
+            raise
+        logging.error(
+            "Detected OutOfMemoryError! Enabling rematerialization to reduce "
+            "memory usage, but this slows down training."
+        )
+        cfg.remat = True
+        train_model(cfg, state=state)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,140 @@
+"""Inference: preprocess -> jitted forward -> resize-to-original -> argmax -> post.
+
+Reference: ``/root/reference/predict.py``.  Per-image semantics preserved
+(grayscale 'L' input, ``BasicDataset.preprocess(scale=1)``, bilinear
+``align_corners=False`` resize of the logits back to the original size,
+argmax, optional ``postprocess_mask`` — default on, {0,128,255} PNG output).
+
+TPU restructuring: the reference runs one host->device->host round trip per
+file; here images are grouped by size and batched through one jitted
+program per (input, output) shape pair, with cv2 post-processing running in a
+host thread pool while the device works on the next batch.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..data.dataset import BasicDataset
+from ..ops.resize import bilinear_resize
+from ..pipeline.post_process import postprocess_mask
+
+__all__ = ["Predictor", "mask_to_image", "collect_image_files"]
+
+log = logging.getLogger(__name__)
+
+
+def mask_to_image(mask: np.ndarray) -> Image.Image:
+    """{0,1,2} -> {0,128,255} PNG (predict.py:52-58)."""
+    vis = np.zeros_like(mask, dtype=np.uint8)
+    vis[mask == 0] = 0
+    vis[mask == 1] = 128
+    vis[mask == 2] = 255
+    return Image.fromarray(vis)
+
+
+def collect_image_files(input_dir: str) -> List[str]:
+    """Recursive png/jpg/jpeg walk (predict.py:61-68)."""
+    files = []
+    for root, _, names in os.walk(input_dir):
+        for name in names:
+            if name.lower().endswith((".png", ".jpg", ".jpeg")):
+                files.append(os.path.join(root, name))
+    return sorted(files)
+
+
+class Predictor:
+    """Batched jitted predictor for a fixed model + parameters."""
+
+    def __init__(self, model, params, bn_state, batch_size: int = 8):
+        self.model = model
+        self.params = params
+        self.bn_state = bn_state
+        self.batch_size = batch_size
+
+    @functools.lru_cache(maxsize=32)
+    def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+        model = self.model
+
+        @jax.jit
+        def run(params, bn_state, images):
+            logits, _ = model.apply(params, bn_state, images, train=False)
+            logits = bilinear_resize(
+                logits.astype(jnp.float32), out_hw[0], out_hw[1], align_corners=False
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        return run
+
+    def predict_array(self, images: np.ndarray, out_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
+        """images: [B, H, W, C] float -> [B, outH, outW] int32 class indices."""
+        in_hw = images.shape[1:3]
+        out_hw = tuple(out_hw or in_hw)
+        run = self._step(tuple(in_hw), out_hw)
+        return np.asarray(run(self.params, self.bn_state, jnp.asarray(images)))
+
+    def predict_image(self, img: Image.Image, postprocess: bool = True) -> np.ndarray:
+        """One PIL image -> {0,1,2} mask at the original size."""
+        arr = BasicDataset.preprocess(None, img, scale=1, is_mask=False)
+        pred = self.predict_array(arr[None], out_hw=(img.size[1], img.size[0]))[0]
+        if postprocess:
+            pred = postprocess_mask(pred.astype(np.uint8))
+        return pred
+
+    def predict_paths(
+        self,
+        in_files: Iterable[str],
+        output_dir: Optional[str] = None,
+        postprocess: bool = True,
+        save: bool = True,
+        overwrite_suffix: str = ".png",
+    ) -> Dict[str, np.ndarray]:
+        """Batch-predict files, grouped by image size; returns {path: mask}."""
+        in_files = list(in_files)
+        # load + group by size
+        by_size: Dict[Tuple[int, int], List[Tuple[str, np.ndarray]]] = {}
+        for path in in_files:
+            try:
+                img = Image.open(path).convert("L")
+            except Exception:
+                log.exception("Failed to open %s", path)
+                continue
+            arr = BasicDataset.preprocess(None, img, scale=1, is_mask=False)
+            by_size.setdefault(arr.shape[:2], []).append((path, arr))
+
+        results: Dict[str, np.ndarray] = {}
+
+        def host_post(path: str, pred: np.ndarray):
+            if postprocess:
+                pred = postprocess_mask(pred.astype(np.uint8))
+            results[path] = pred
+            if save:
+                if output_dir is None:
+                    out_path = os.path.splitext(path)[0] + overwrite_suffix
+                else:
+                    os.makedirs(output_dir, exist_ok=True)
+                    base = os.path.splitext(os.path.basename(path))[0]
+                    out_path = os.path.join(output_dir, base + overwrite_suffix)
+                mask_to_image(pred).save(out_path)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = []
+            for size, items in by_size.items():
+                for i in range(0, len(items), self.batch_size):
+                    chunk = items[i : i + self.batch_size]
+                    batch = np.stack([a for _, a in chunk])
+                    preds = self.predict_array(batch)
+                    for (path, _), pred in zip(chunk, preds):
+                        futures.append(pool.submit(host_post, path, pred))
+            for f in futures:
+                f.result()
+        return results
