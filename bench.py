@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark: 512x512 slices/sec/chip (train + predict), UNet_S, vs torch-CPU.
+
+Prints ONE JSON line:
+  {"metric": "512x512 slices/sec/chip (train+predict, unet_s)",
+   "value": N, "unit": "slices/s", "vs_baseline": R, ...}
+
+Timing methodology (important on tunneled/remote TPU platforms where
+``block_until_ready`` resolves before remote execution finishes): each phase
+is ONE jitted ``lax.scan`` chaining K steps through a data dependency
+(train: the TrainState carry; predict: the input perturbed by the previous
+output), bracketed by a real scalar device->host fetch.  The first fetch of
+the session warms the readback path and is excluded.
+
+The combined number is the throughput of a balanced train+predict workload
+(equal slice counts through each phase).  ``vs_baseline`` divides by the same
+workload on the PyTorch reference implementation on CPU (the reference's only
+runnable configuration — it publishes no numbers, see BASELINE.md); the torch
+measurement is cached in ``.bench_baseline.json``.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BASELINE_CACHE = Path(__file__).resolve().parent / ".bench_baseline.json"
+
+
+def bench_ours(hw, batch, n_steps):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from unet_medical_image_contour_segmentation_tpu.engine.optim import RMSpropConfig
+    from unet_medical_image_contour_segmentation_tpu.engine.train import (
+        init_train_state, make_train_step,
+    )
+    from unet_medical_image_contour_segmentation_tpu.losses.compound import LossConfig
+    from unet_medical_image_contour_segmentation_tpu.models.unet import unet_s
+
+    model = unet_s(1, 3, bilinear=False, compute_dtype=jnp.bfloat16)
+    state = init_train_state(model, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.random((batch, *hw, 1), np.float32))
+    mask = jnp.asarray(rng.integers(0, 3, (batch, *hw)).astype(np.int32))
+    batch_data = {"image": image, "mask": mask}
+
+    # one-time readback warmup (tunneled platforms pay a large first-fetch cost)
+    _ = float(jnp.sum(image))
+
+    step_fn = make_train_step(model, LossConfig(n_classes=3), RMSpropConfig(), 1.0)
+
+    @jax.jit
+    def train_chain(state):
+        def body(st, _):
+            st, metrics = step_fn(st, batch_data, 1e-5)
+            return st, metrics["loss"]
+        st, losses = lax.scan(body, state, None, length=n_steps)
+        return st, losses[-1]
+
+    state2, loss = train_chain(state)       # compile + run
+    _ = float(loss)
+    t0 = time.perf_counter()
+    state2, loss = train_chain(state)
+    _ = float(loss)                          # real completion barrier
+    t_train = (time.perf_counter() - t0) / n_steps
+
+    @jax.jit
+    def predict_chain(x):
+        def body(carry, _):
+            logits, _s = model.apply(state.params, state.bn_state, carry, train=False)
+            pred = jnp.argmax(logits, axis=-1)
+            # tiny feedback forces sequential execution of the chain
+            nxt = carry + 1e-12 * pred[..., None].astype(carry.dtype)
+            return nxt, ()
+        out, _ = lax.scan(body, x, None, length=n_steps)
+        return jnp.sum(out[0, 0, 0])
+
+    _ = float(predict_chain(image))          # compile + run
+    t0 = time.perf_counter()
+    _ = float(predict_chain(image))
+    t_pred = (time.perf_counter() - t0) / n_steps
+
+    return batch / t_train, batch / t_pred
+
+
+def bench_torch_baseline(hw, batch, n_steps, reference_dir="/root/reference"):
+    """Reference UNet_S on torch-CPU, same workload.  Returns (train_sps, pred_sps)."""
+    if not os.path.isdir(reference_dir):
+        return None
+    sys.path.insert(0, reference_dir)
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+    from unet.unet_model import UNet_S
+    from utils.dice_score import dice_loss
+
+    torch.manual_seed(0)
+    model = UNet_S(n_channels=1, n_classes=3, bilinear=False)
+    model = model.to(memory_format=torch.channels_last)
+    opt = torch.optim.RMSprop(model.parameters(), lr=1e-5, weight_decay=1e-8,
+                              momentum=0.999, foreach=True)
+    criterion = torch.nn.CrossEntropyLoss()
+    rng = np.random.default_rng(0)
+    images = torch.from_numpy(rng.random((batch, 1, *hw), np.float32)).to(
+        memory_format=torch.channels_last
+    )
+    masks = torch.from_numpy(rng.integers(0, 3, (batch, *hw))).long()
+
+    model.train()
+
+    def tstep():
+        pred = model(images)
+        loss = criterion(pred, masks) + dice_loss(
+            F.softmax(pred, dim=1).float(),
+            F.one_hot(masks, 3).permute(0, 3, 1, 2).float(),
+            multiclass=True,
+        )
+        opt.zero_grad(set_to_none=True)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+
+    tstep()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        tstep()
+    t_train = (time.perf_counter() - t0) / n_steps
+
+    model.eval()
+    with torch.no_grad():
+        model(images)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            model(images).argmax(dim=1)
+        t_pred = (time.perf_counter() - t0) / n_steps
+    return batch / t_train, batch / t_pred
+
+
+def combined(train_sps, pred_sps):
+    """Throughput of a balanced train+predict workload (equal slice counts)."""
+    return 2.0 / (1.0 / train_sps + 1.0 / pred_sps)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--hw", type=int, default=512)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--baseline-steps", type=int, default=3)
+    parser.add_argument("--refresh-baseline", action="store_true")
+    args = parser.parse_args()
+    hw = (args.hw, args.hw)
+
+    train_sps, pred_sps = bench_ours(hw, args.batch, args.steps)
+    ours = combined(train_sps, pred_sps)
+
+    key = f"{args.hw}x{args.hw}_b{args.batch}"
+    cache = {}
+    if BASELINE_CACHE.exists():
+        cache = json.loads(BASELINE_CACHE.read_text())
+    if key not in cache or args.refresh_baseline:
+        base = bench_torch_baseline(hw, args.batch, args.baseline_steps)
+        if base is not None:
+            cache[key] = {
+                "train_sps": base[0],
+                "pred_sps": base[1],
+                "combined": combined(*base),
+            }
+            BASELINE_CACHE.write_text(json.dumps(cache, indent=2))
+    baseline = cache.get(key, {}).get("combined")
+
+    result = {
+        "metric": f"{args.hw}x{args.hw} slices/sec/chip (train+predict, unet_s)",
+        "value": round(ours, 2),
+        "unit": "slices/s",
+        "vs_baseline": round(ours / baseline, 2) if baseline else None,
+        "train_slices_per_s": round(train_sps, 2),
+        "predict_slices_per_s": round(pred_sps, 2),
+        "baseline_combined_slices_per_s": round(baseline, 2) if baseline else None,
+        "batch": args.batch,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

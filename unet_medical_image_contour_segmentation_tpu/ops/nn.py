@@ -55,17 +55,16 @@ def conv2d(
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-    # Accumulate in (at least) f32 on the MXU even under bf16 compute, then
-    # cast back — matches cuDNN-under-autocast (fp16 in, f32 accumulate).
-    acc = jnp.promote_types(x.dtype, jnp.float32)
+    # No explicit preferred_element_type: the TPU MXU accumulates bf16 x bf16
+    # in f32 internally and rounds to the bf16 output — the same numerics as
+    # cuDNN-under-autocast — while keeping the conv VJP dtype-consistent.
     y = lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=dn,
-        preferred_element_type=acc,
-    ).astype(x.dtype)
+    )
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
@@ -100,8 +99,7 @@ def conv_transpose2d(
         padding=[(k - 1, k - 1), (k - 1, k - 1)],
         lhs_dilation=(stride, stride),
         dimension_numbers=dn,
-        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
-    ).astype(x.dtype)
+    )
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
