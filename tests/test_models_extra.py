@@ -1,0 +1,98 @@
+"""UNet++ and spatial-parallel tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unet_medical_image_contour_segmentation_tpu.models.unet import get_model, unet_t
+from unet_medical_image_contour_segmentation_tpu.models.unet_nested import (
+    UNetPlusPlus, unet_pp_s,
+)
+
+
+class TestUNetPlusPlus:
+    @pytest.mark.parametrize("bilinear", [False, True])
+    def test_forward_shapes(self, bilinear):
+        model = unet_pp_s(1, 1, bilinear=bilinear).with_options(widths=(8, 16, 32))
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = jnp.zeros((2, 32, 32, 1))
+        logits, new_state = model.apply(params, state, x, train=True)
+        assert logits.shape == (2, 32, 32, 1)
+        assert set(new_state) == set(state)
+
+    def test_deep_supervision(self):
+        model = UNetPlusPlus(1, 3, widths=(8, 16, 32), deep_supervision=True)
+        params, state = model.init(jax.random.PRNGKey(1))
+        x = jnp.zeros((1, 32, 32, 1))
+        logits, _ = model.apply(params, state, x, train=False)
+        assert logits.shape == (1, 32, 32, 3)
+
+    def test_registry(self):
+        m = get_model("unet_pp_s", n_channels=1, n_classes=1)
+        assert m.name == "unet_pp_s" and m.widths[0] == 16
+        m = get_model("unet_pp", n_channels=1, n_classes=1)
+        assert m.widths[0] == 64
+
+    def test_trains(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.optim import RMSpropConfig
+        from unet_medical_image_contour_segmentation_tpu.engine.train import (
+            init_train_state, make_train_step,
+        )
+        from unet_medical_image_contour_segmentation_tpu.losses.compound import LossConfig
+
+        model = unet_pp_s(1, 1).with_options(widths=(8, 16, 32))
+        state = init_train_state(model, jax.random.PRNGKey(2))
+        step = jax.jit(make_train_step(
+            model, LossConfig(n_classes=1, boundary_edge_width=8),
+            RMSpropConfig(learning_rate=1e-3),
+        ))
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": rng.random((2, 32, 32, 1), np.float32),
+            "mask": rng.integers(0, 3, (2, 32, 32)).astype(np.int32),
+        }
+        losses = []
+        for _ in range(4):
+            state, m = step(state, batch, 1e-3)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+
+class TestSpatialParallel:
+    def test_gspmd_spatial_forward_matches_unsharded(self):
+        from unet_medical_image_contour_segmentation_tpu.parallel import (
+            make_spatial_forward, make_spatial_mesh,
+        )
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >=4 virtual devices")
+        mesh = make_spatial_mesh(4)
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(0))
+        image = np.random.default_rng(0).random((1, 128, 128, 1), np.float32)
+
+        fwd = make_spatial_forward(model, mesh)
+        got = fwd(params, bn_state, jnp.asarray(image))
+        want, _ = model.apply(params, bn_state, jnp.asarray(image), train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_tiled_inference_matches_full_on_interior(self):
+        from unet_medical_image_contour_segmentation_tpu.parallel import tiled_inference
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(2)
+        # smooth image so class boundaries are not knife-edge everywhere
+        base = rng.random((1, 24, 24, 1), np.float32)
+        image = jnp.asarray(np.kron(base, np.ones((1, 8, 8, 1), np.float32)))  # 192x192
+
+        tiled = tiled_inference(model, params, bn_state, image, tile=64, halo=48)
+        logits, _ = model.apply(params, bn_state, image, train=False)
+        full = jnp.argmax(logits, axis=-1)
+        agree = float(jnp.mean((tiled == full).astype(jnp.float32)))
+        assert tiled.shape == full.shape
+        assert agree > 0.99, f"tiled/full agreement {agree}"

@@ -133,6 +133,12 @@ def unet_sa(n_channels=1, n_classes=3, bilinear=False, **kw) -> UNet:
                 name="unet_sa", **kw)
 
 
+def _pp_registry():
+    from .unet_nested import unet_pp, unet_pp_s
+
+    return {"unet_pp": unet_pp, "unet_pp_s": unet_pp_s}
+
+
 MODEL_REGISTRY = {
     "unet": unet,
     "unet_t": unet_t,
@@ -141,8 +147,14 @@ MODEL_REGISTRY = {
 }
 
 
-def get_model(name: str, **kw) -> UNet:
+def get_model(name: str, **kw):
+    registry = dict(MODEL_REGISTRY)
+    if name.startswith("unet_pp"):
+        registry.update(_pp_registry())
     try:
-        return MODEL_REGISTRY[name](**kw)
+        return registry[name](**kw)
     except KeyError:
-        raise ValueError(f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}")
+        raise ValueError(
+            f"unknown model {name!r}; available: "
+            f"{sorted(MODEL_REGISTRY) + ['unet_pp', 'unet_pp_s']}"
+        )

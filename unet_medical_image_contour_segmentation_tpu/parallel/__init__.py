@@ -5,6 +5,7 @@ from .data_parallel import (
     make_parallel_train_step,
     replicate,
 )
+from .spatial import make_spatial_forward, make_spatial_mesh, tiled_inference
 
 __all__ = [
     "batch_sharding",
@@ -12,4 +13,7 @@ __all__ = [
     "make_parallel_eval_step",
     "make_parallel_train_step",
     "replicate",
+    "make_spatial_forward",
+    "make_spatial_mesh",
+    "tiled_inference",
 ]
