@@ -1,0 +1,97 @@
+"""End-to-end train_model loop tests on a tiny synthetic on-disk dataset."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from unet_medical_image_contour_segmentation_tpu.config import TrainConfig
+from unet_medical_image_contour_segmentation_tpu.engine.train import train_model
+
+
+@pytest.fixture
+def data_root(tmp_path):
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        (tmp_path / "imgs" / split).mkdir(parents=True)
+        (tmp_path / "masks" / split).mkdir(parents=True)
+        for i in range(2):
+            img = rng.integers(0, 255, (64, 64), dtype=np.uint8)
+            mask = rng.choice([0, 128, 255], (64, 64)).astype(np.uint8)
+            Image.fromarray(img).save(tmp_path / "imgs" / split / f"case{i}.png")
+            Image.fromarray(mask).save(tmp_path / "masks" / split / f"case{i}_mask.png")
+    return tmp_path
+
+
+def _cfg(data_root, tmp_path, **kw):
+    defaults = dict(
+        model="unet_t",
+        data_root=str(data_root),
+        scale=0.5,  # 64 -> 32 px
+        epochs=2,
+        batch_size=2,
+        learning_rate=1e-4,
+        amp=False,
+        num_workers=2,
+        dir_checkpoint=str(tmp_path / "ckpts"),
+        predictions_dir=str(tmp_path / "preds"),
+        checkpoint_every=1,
+        checkpoint_after_frac=0.4,
+        log_every=0,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def test_train_model_end_to_end(data_root, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(data_root, tmp_path)
+    state = train_model(cfg)
+    assert int(state.step) == 2 * ((2 * 4) // 2)  # 2 epochs x (2 imgs x 4 aug / b2)
+    # checkpoint cadence: epochs > 0.8 and % 1 == 0 -> epoch 2 saved
+    assert os.path.exists(tmp_path / "ckpts" / "checkpoint_epoch2.npz")
+    assert os.path.exists(tmp_path / "model_epoch2.npz")
+    # per-epoch prediction dumps (original + postprocessed)
+    preds = os.listdir(tmp_path / "preds" / "epoch_1")
+    assert any(p.endswith(".png") for p in preds)
+    assert os.path.isdir(tmp_path / "preds" / "epoch_1" / "postprocessed")
+
+
+def test_train_model_data_parallel(data_root, tmp_path, monkeypatch):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(data_root, tmp_path, num_devices=2, epochs=1,
+               save_val_predictions=False, save_checkpoint=False)
+    state = train_model(cfg)
+    assert int(state.step) == 4  # 8 samples / batch 2, one epoch
+
+
+def test_train_model_resume_from_pth(data_root, tmp_path, monkeypatch, reference_path):
+    """--load compat: resume from a reference-format .pth checkpoint."""
+    import jax.numpy as jnp
+    import torch
+
+    from unet_medical_image_contour_segmentation_tpu.engine.checkpoint import load_weights
+    from unet_medical_image_contour_segmentation_tpu.engine.optim import init_rmsprop
+    from unet_medical_image_contour_segmentation_tpu.engine.train import TrainState
+    from unet.unet_model import UNet_T
+
+    monkeypatch.chdir(tmp_path)
+    torch.manual_seed(0)
+    sd = UNet_T(1, 3, False).state_dict()
+    sd["mask_values"] = [0, 128, 255]
+    torch.save(sd, tmp_path / "ref.pth")
+
+    params, bn_state, mv = load_weights(str(tmp_path / "ref.pth"))
+    assert mv == [0, 128, 255]
+    params = jax.tree.map(jnp.asarray, params)
+    state = TrainState(params, jax.tree.map(jnp.asarray, bn_state),
+                       init_rmsprop(params), jnp.zeros((), jnp.int32))
+    cfg = _cfg(data_root, tmp_path, epochs=1, save_val_predictions=False,
+               save_checkpoint=False)
+    out = train_model(cfg, state=state)
+    assert int(out.step) == 4

@@ -123,8 +123,12 @@ def train_model(
             getattr(val_set, "mask_values", [])
         )
 
+    n_dev = cfg.num_devices or 1
     train_loader = DataLoader(
-        train_set, cfg.batch_size, shuffle=True, num_workers=cfg.num_workers, seed=cfg.seed
+        train_set, cfg.batch_size, shuffle=True, num_workers=cfg.num_workers,
+        seed=cfg.seed,
+        # shard_map needs every batch full when data-parallel
+        drop_last=(n_dev > 1),
     )
     val_loader = DataLoader(
         val_set, cfg.batch_size, shuffle=False, drop_last=True, num_workers=cfg.num_workers
@@ -151,10 +155,30 @@ def train_model(
     if state is None:
         state = init_train_state(model, jax.random.PRNGKey(cfg.seed), opt_cfg)
 
-    step_fn = jax.jit(
-        make_train_step(model, loss_cfg, opt_cfg, cfg.gradient_clipping),
-        donate_argnums=(0,),
-    )
+    batch_sharding_ = None
+    if n_dev > 1:
+        # data-parallel: batch sharded over a 1-D mesh, cross-replica BN,
+        # global-batch loss reductions (numerically == single device)
+        from ..parallel import (
+            batch_sharding, make_data_mesh, make_parallel_train_step, replicate,
+        )
+
+        if cfg.batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by "
+                f"num_devices {n_dev}"
+            )
+        mesh = make_data_mesh(n_dev)
+        state = replicate(state, mesh)
+        step_fn = make_parallel_train_step(
+            model, loss_cfg, opt_cfg, mesh, cfg.gradient_clipping
+        )
+        batch_sharding_ = batch_sharding(mesh)
+    else:
+        step_fn = jax.jit(
+            make_train_step(model, loss_cfg, opt_cfg, cfg.gradient_clipping),
+            donate_argnums=(0,),
+        )
     eval_step = make_eval_step(model, model.n_classes)
 
     lr = cfg.learning_rate  # scheduler sets base lr at construction
@@ -177,7 +201,7 @@ def train_model(
 
         t0 = time.perf_counter()
         n_seen = 0
-        for batch in prefetch_to_device(iter(train_loader)):
+        for batch in prefetch_to_device(iter(train_loader), sharding=batch_sharding_):
             if batch["image"].shape[-1] != model.n_channels:
                 raise AssertionError(
                     f"Network has been defined with {model.n_channels} input channels, "
