@@ -59,18 +59,25 @@ def main():
 
     logging.info("Using devices: %s", jax.devices())
     try:
-        params, bn_state, _ = load_weights(args.model, bilinear=args.bilinear,
-                                           use_attention=(args.arch == "unet_sa"))
-        model = get_model(args.arch, n_channels=1, n_classes=args.classes,
-                          bilinear=args.bilinear, compute_dtype=jnp.bfloat16)
-        params = jax.tree.map(jnp.asarray, params)
-        bn_state = jax.tree.map(jnp.asarray, bn_state)
+        if args.model.endswith(".stablehlo"):
+            # compiled-artifact path (the reference's TorchScript .pt analogue)
+            from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+                StableHLOPredictor,
+            )
+
+            predictor = StableHLOPredictor.from_file(args.model, batch_size=args.batch_size)
+        else:
+            params, bn_state, _ = load_weights(args.model, bilinear=args.bilinear,
+                                               use_attention=(args.arch == "unet_sa"))
+            model = get_model(args.arch, n_channels=1, n_classes=args.classes,
+                              bilinear=args.bilinear, compute_dtype=jnp.bfloat16)
+            params = jax.tree.map(jnp.asarray, params)
+            bn_state = jax.tree.map(jnp.asarray, bn_state)
+            predictor = Predictor(model, params, bn_state, batch_size=args.batch_size)
     except Exception:
         logging.exception("Model load failed")
         return 1
     logging.info("Model loaded!")
-
-    predictor = Predictor(model, params, bn_state, batch_size=args.batch_size)
     results = predictor.predict_paths(
         in_files,
         output_dir=args.output,

@@ -49,3 +49,19 @@ def test_bilinear_exports_static_hw():
     got = exported.call(jnp.asarray(x))
     want, _ = model.apply(params, bn_state, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)
+
+
+def test_stablehlo_predictor_matches_live():
+    from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+        Predictor, StableHLOPredictor,
+    )
+
+    model, params, bn_state = _model()
+    data = export_stablehlo(model, params, bn_state, platforms=("cpu",))
+    live = Predictor(model, params, bn_state)
+    hlo = StableHLOPredictor(data)
+    x = np.random.default_rng(4).random((2, 64, 64, 1), np.float32)
+    np.testing.assert_array_equal(
+        hlo.predict_array(x, out_hw=(100, 60)),
+        live.predict_array(x, out_hw=(100, 60)),
+    )

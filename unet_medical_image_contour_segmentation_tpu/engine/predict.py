@@ -28,7 +28,7 @@ from ..data.dataset import BasicDataset
 from ..ops.resize import bilinear_resize
 from ..pipeline.post_process import postprocess_mask
 
-__all__ = ["Predictor", "mask_to_image", "collect_image_files"]
+__all__ = ["Predictor", "StableHLOPredictor", "mask_to_image", "collect_image_files"]
 
 log = logging.getLogger(__name__)
 
@@ -90,7 +90,7 @@ class Predictor:
             pred = postprocess_mask(pred.astype(np.uint8))
         return pred
 
-    def predict_paths(
+    def predict_paths(  # noqa: C901 — host/device overlap plumbing
         self,
         in_files: Iterable[str],
         output_dir: Optional[str] = None,
@@ -138,3 +138,42 @@ class Predictor:
             for f in futures:
                 f.result()
         return results
+
+
+class StableHLOPredictor(Predictor):
+    """Predictor backed by a serialized StableHLO module (engine/export.py).
+
+    The TPU-native analogue of the reference's TorchScript ``.pt`` loading
+    (predict.py:95-100): a deployable compiled artifact instead of live
+    parameters.  The exported module maps images -> logits; resizing to the
+    original size and the argmax run in a jitted wrapper around the call.
+    """
+
+    def __init__(self, exported_bytes: bytes, batch_size: int = 8):
+        self.exported = jax.export.deserialize(bytearray(exported_bytes))
+        self.batch_size = batch_size
+
+    @classmethod
+    def from_file(cls, path: str, batch_size: int = 8) -> "StableHLOPredictor":
+        with open(path, "rb") as f:
+            return cls(f.read(), batch_size=batch_size)
+
+    @functools.lru_cache(maxsize=32)
+    def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+        exported = self.exported
+
+        @jax.jit
+        def run(images):
+            logits = exported.call(images)
+            logits = bilinear_resize(
+                logits.astype(jnp.float32), out_hw[0], out_hw[1], align_corners=False
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        return run
+
+    def predict_array(self, images, out_hw=None):
+        in_hw = images.shape[1:3]
+        out_hw = tuple(out_hw or in_hw)
+        run = self._step(tuple(in_hw), out_hw)
+        return np.asarray(run(jnp.asarray(images)))
