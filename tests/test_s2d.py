@@ -125,3 +125,73 @@ class TestS2dModel:
         x = jnp.zeros((1, 64, 64, 1))
         with pytest.raises(ValueError):
             model.apply(params, state, x)
+
+
+class TestS2dFusedLoss:
+    def test_fused_loss_matches_standard(self):
+        from unet_medical_image_contour_segmentation_tpu.losses.compound import (
+            LossConfig, compute_loss,
+        )
+        from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+            compute_loss_s2d_multiclass,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.s2d_exec import (
+            apply_s2d, output_block,
+        )
+        from unet_medical_image_contour_segmentation_tpu.ops.s2d import s2d_int
+
+        model = unet_s(1, 3, layout="s2d")
+        params, state = model.init(jax.random.PRNGKey(4))
+        rng = np.random.default_rng(20)
+        x = jnp.asarray(rng.random((2, 64, 64, 1), np.float32))
+        t = jnp.asarray(rng.integers(0, 3, (2, 64, 64)).astype(np.int32))
+        cfg = LossConfig(n_classes=3)
+
+        logits, _ = model.apply(params, state, x, train=True)
+        want, wm = compute_loss(logits, t, cfg)
+
+        logits_cm, _ = apply_s2d(model, params, state, x, train=True,
+                                 d2s_output=False, class_major=True)
+        b0 = output_block(model)
+        got, gm = compute_loss_s2d_multiclass(logits_cm, s2d_int(t, b0), cfg)
+        assert float(got) == pytest.approx(float(want), rel=1e-5)
+        assert float(gm["ce"]) == pytest.approx(float(wm["ce"]), rel=1e-5)
+        assert float(gm["dice"]) == pytest.approx(float(wm["dice"]), rel=1e-4)
+
+    def test_fused_gradients_match(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.optim import RMSpropConfig
+        from unet_medical_image_contour_segmentation_tpu.engine.train import (
+            init_train_state, make_train_step,
+        )
+        from unet_medical_image_contour_segmentation_tpu.losses.compound import LossConfig
+
+        rng = np.random.default_rng(21)
+        batch = {
+            "image": rng.random((2, 64, 64, 1), np.float32),
+            "mask": rng.integers(0, 3, (2, 64, 64)).astype(np.int32),
+        }
+        cfg = RMSpropConfig(learning_rate=1e-4)
+
+        def run(layout):
+            model = unet_s(1, 3, layout=layout)
+            state = init_train_state(model, jax.random.PRNGKey(5))
+            step = jax.jit(make_train_step(model, LossConfig(n_classes=3), cfg))
+            s, m = step(state, batch, 1e-4)
+            return float(m["loss"]), float(m["grad_norm"])
+
+        l1, g1 = run("nhwc")
+        l2, g2 = run("s2d")   # engages the fused class-major loss
+        assert l2 == pytest.approx(l1, rel=1e-5)
+        assert g2 == pytest.approx(g1, rel=1e-3)
+
+    def test_fused_argmax_matches(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.evaluate import make_eval_step
+
+        rng = np.random.default_rng(22)
+        x = jnp.asarray(rng.random((2, 64, 64, 1), np.float32))
+        m_nhwc = unet_s(1, 3, layout="nhwc")
+        m_s2d = unet_s(1, 3, layout="s2d")
+        params, state = m_nhwc.init(jax.random.PRNGKey(6))
+        p1 = make_eval_step(m_nhwc, 3)(params, state, x)
+        p2 = make_eval_step(m_s2d, 3)(params, state, x)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))

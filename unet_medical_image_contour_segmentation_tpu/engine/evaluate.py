@@ -35,10 +35,27 @@ __all__ = ["evaluate", "make_eval_step"]
 
 
 def make_eval_step(model, n_classes: int):
-    """jitted: (params, bn_state, image) -> (pred [B,H,W] int32, probs-or-None)."""
+    """jitted: (params, bn_state, image) -> pred [B,H,W] int32 class indices."""
 
     @jax.jit
     def step(params, bn_state, image):
+        if n_classes > 1 and getattr(model, "layout", "nhwc") in ("auto", "s2d"):
+            try:
+                from ..losses.s2d_fused import argmax_class_major
+                from ..models.s2d_exec import apply_s2d, output_block, supports_s2d
+                from ..ops.s2d import d2s_int
+
+                if supports_s2d(model, image.shape):
+                    # fused path: argmax over class-major lane slices, then a
+                    # dense integer d2s — no padded (H, W, C) logits in HBM
+                    logits_cm, _ = apply_s2d(
+                        model, params, bn_state, image,
+                        train=False, d2s_output=False, class_major=True,
+                    )
+                    pred = argmax_class_major(logits_cm, n_classes)
+                    return d2s_int(pred, output_block(model))
+            except (ImportError, AttributeError):
+                pass
         logits, _ = model.apply(params, bn_state, image, train=False)
         if n_classes == 1:
             prob = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))

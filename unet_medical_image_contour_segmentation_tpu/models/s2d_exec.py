@@ -21,6 +21,11 @@ from ..ops.nn import max_pool2d
 __all__ = ["supports_s2d", "apply_s2d"]
 
 
+def output_block(model) -> int:
+    """Block size of the s2d logits (level-0 plan entry)."""
+    return S.block_for_channels(model.widths[0])
+
+
 def supports_s2d(model, x_shape) -> bool:
     if model.bilinear:
         return False
@@ -71,12 +76,13 @@ def _attention(params, x, b, c, *, cd):
 
 
 def apply_s2d(model, params, state, x, *, train: bool = False, axis_name=None,
-              d2s_output: bool = True):
+              d2s_output: bool = True, class_major: bool = False):
     """Forward in s2d layout.  Returns (logits, new_state).
 
-    ``d2s_output=False`` leaves the logits in s2d-b0 layout (lanes grouped
-    (b0*b0, n_classes)) for fused loss/eval paths; use ``ops.s2d.d2s`` to
-    convert.
+    ``d2s_output=False`` leaves the logits in s2d-b0 layout for the fused
+    loss/eval paths; with ``class_major=True`` the lanes are ordered
+    (class, dy, dx) so per-class tensors are contiguous slices
+    (losses/s2d_fused.py).  Call with the defaults to get NHWC logits.
     """
     w = model.widths
     cd = model.compute_dtype
@@ -127,8 +133,10 @@ def apply_s2d(model, params, state, x, *, train: bool = False, axis_name=None,
                              train=train, cd=cd, axis_name=axis_name)
         new_state[f"up{i}"] = {"conv": ns}
 
-    logits = S.conv1x1_s2d(y, params["outc"]["w"], y_b,
-                           params["outc"].get("b"), compute_dtype=cd)
+    assert not (class_major and d2s_output), "class-major lanes cannot be d2s'd"
+    head = S.conv1x1_s2d_class_major if class_major else S.conv1x1_s2d
+    logits = head(y, params["outc"]["w"], y_b,
+                  params["outc"].get("b"), compute_dtype=cd)
     logits = logits.astype(jnp.float32)
     if d2s_output:
         logits = S.d2s(logits, y_b)

@@ -38,9 +38,12 @@ __all__ = [
     "block_for_channels",
     "s2d",
     "d2s",
+    "s2d_int",
+    "d2s_int",
     "repack",
     "conv_s2d",
     "conv1x1_s2d",
+    "conv1x1_s2d_class_major",
     "conv_transpose2_s2d",
     "max_pool2_s2d",
     "batch_norm_s2d",
@@ -273,3 +276,51 @@ def concat_s2d(xs, b: int, channels) -> jnp.ndarray:
     ]
     y = jnp.concatenate(parts, axis=-1)
     return y.reshape(*y.shape[:-2], g * sum(channels))
+
+
+def conv1x1_s2d_class_major(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: int,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """1x1 conv emitting CLASS-MAJOR lanes: y[..., co*g + (dy*b+dx)].
+
+    With class as the slow lane index, per-class tensors are contiguous lane
+    slices of width g = b*b — softmax/argmax/one-hot over classes become
+    elementwise ops on dense slices, never leaving the s2d layout.  Used by
+    the fused loss/eval paths (losses/s2d_fused.py).
+    """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    B, Hb, Wb, L = x.shape
+    cin, cout = w.shape[2], w.shape[3]
+    g = L // cin
+    xg = x.reshape(B, Hb, Wb, g, cin)
+    y = jnp.einsum("bhwgc,cd->bhwdg", xg, w[0, 0])  # (..., cout, g)
+    y = y.reshape(B, Hb, Wb, cout * g)
+    if bias is not None:
+        y = y + jnp.repeat(bias, g).astype(y.dtype)
+    return y
+
+
+def s2d_int(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(B, H, W) integer map -> (B, H/b, W/b, b*b) s2d lanes."""
+    if b == 1:
+        return x[..., None]
+    B, H, W = x.shape
+    x = x.reshape(B, H // b, b, W // b, b)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(B, H // b, W // b, b * b)
+
+
+def d2s_int(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(B, H/b, W/b, b*b) -> (B, H, W) integer map."""
+    if b == 1:
+        return x[..., 0]
+    B, Hb, Wb, g = x.shape
+    x = x.reshape(B, Hb, Wb, b, b)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(B, Hb * b, Wb * b)
