@@ -71,11 +71,12 @@ def bench_ours(hw, batch, n_steps):
     _ = float(loss)                          # real completion barrier
     t_train = (time.perf_counter() - t0) / n_steps
 
+    from unet_medical_image_contour_segmentation_tpu.engine.evaluate import eval_forward
+
     @jax.jit
     def predict_chain(x):
         def body(carry, _):
-            logits, _s = model.apply(state.params, state.bn_state, carry, train=False)
-            pred = jnp.argmax(logits, axis=-1)
+            pred = eval_forward(model, 3, state.params, state.bn_state, carry)
             # tiny feedback forces sequential execution of the chain
             nxt = carry + 1e-12 * pred[..., None].astype(carry.dtype)
             return nxt, ()

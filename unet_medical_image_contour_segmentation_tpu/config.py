@@ -60,6 +60,7 @@ class TrainConfig:
     # misc
     seed: int = 0
     log_every: int = 10
+    metrics_path: Optional[str] = None  # JSONL per-step/epoch metric log
 
 
 @dataclasses.dataclass

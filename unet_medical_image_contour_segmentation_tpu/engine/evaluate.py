@@ -31,40 +31,41 @@ import numpy as np
 from ..losses.dice import dice_coeff
 from ..pipeline.post_process import postprocess_mask
 
-__all__ = ["evaluate", "make_eval_step"]
+__all__ = ["evaluate", "eval_forward", "make_eval_step"]
+
+
+def eval_forward(model, n_classes: int, params, bn_state, image) -> jnp.ndarray:
+    """Pure eval forward: (params, bn_state, image) -> [B,H,W] int32 classes.
+
+    Multiclass s2d-capable configs take the fused path: argmax over
+    class-major lane slices then a dense integer d2s — no padded (H, W, C)
+    logits ever hit HBM.
+    """
+    if n_classes > 1 and getattr(model, "layout", "nhwc") in ("auto", "s2d"):
+        try:
+            from ..losses.s2d_fused import argmax_class_major
+            from ..models.s2d_exec import apply_s2d, output_block, supports_s2d
+            from ..ops.s2d import d2s_int
+
+            if supports_s2d(model, image.shape):
+                logits_cm, _ = apply_s2d(
+                    model, params, bn_state, image,
+                    train=False, d2s_output=False, class_major=True,
+                )
+                pred = argmax_class_major(logits_cm, n_classes)
+                return d2s_int(pred, output_block(model))
+        except (ImportError, AttributeError):
+            pass
+    logits, _ = model.apply(params, bn_state, image, train=False)
+    if n_classes == 1:
+        prob = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
+        return (prob > 0.5).astype(jnp.int32)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
 def make_eval_step(model, n_classes: int):
     """jitted: (params, bn_state, image) -> pred [B,H,W] int32 class indices."""
-
-    @jax.jit
-    def step(params, bn_state, image):
-        if n_classes > 1 and getattr(model, "layout", "nhwc") in ("auto", "s2d"):
-            try:
-                from ..losses.s2d_fused import argmax_class_major
-                from ..models.s2d_exec import apply_s2d, output_block, supports_s2d
-                from ..ops.s2d import d2s_int
-
-                if supports_s2d(model, image.shape):
-                    # fused path: argmax over class-major lane slices, then a
-                    # dense integer d2s — no padded (H, W, C) logits in HBM
-                    logits_cm, _ = apply_s2d(
-                        model, params, bn_state, image,
-                        train=False, d2s_output=False, class_major=True,
-                    )
-                    pred = argmax_class_major(logits_cm, n_classes)
-                    return d2s_int(pred, output_block(model))
-            except (ImportError, AttributeError):
-                pass
-        logits, _ = model.apply(params, bn_state, image, train=False)
-        if n_classes == 1:
-            prob = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
-            pred = (prob > 0.5).astype(jnp.int32)
-        else:
-            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return pred
-
-    return step
+    return jax.jit(functools.partial(eval_forward, model, n_classes))
 
 
 def _dice_np(pred: np.ndarray, true: np.ndarray, eps: float = 1e-6) -> float:

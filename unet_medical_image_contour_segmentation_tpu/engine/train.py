@@ -209,6 +209,9 @@ def train_model(
         )
     eval_step = make_eval_step(model, model.n_classes)
 
+    from ..utils.metrics import MetricLogger
+
+    mlog = MetricLogger(cfg.metrics_path)
     lr = cfg.learning_rate  # scheduler sets base lr at construction
     global_step = 0
     pending = None  # (step_idx, device metrics) — NaN check with 1-step delay
@@ -218,6 +221,8 @@ def train_model(
         loss_val = float(metrics["loss"])
         if not np.isfinite(loss_val):
             raise RuntimeError("Fatal: NaN loss detected!")
+        mlog.log("train_step", step=step_idx,
+                 **{k: v for k, v in metrics.items()})
         return loss_val
 
     for epoch in range(1, cfg.epochs + 1):
@@ -262,6 +267,9 @@ def train_model(
         log.info("Validation Dice score: %s", val_score)
         log.info("Validation Postprocessed Dice score: %s", val_post)
         log.info("Validation Min Dice score: %s", min_val)
+        mlog.log("validation", epoch=epoch, dice=val_score,
+                 dice_postprocessed=val_post, min_dice=min_val, lr=lr,
+                 epoch_loss=epoch_loss, slices_per_sec=n_seen / max(dt, 1e-9))
 
         # scheduler step — faithful quirk passes the Dice score as the epoch
         sched_t = val_score if cfg.scheduler_quirk else float(epoch)
@@ -284,4 +292,5 @@ def train_model(
         f"model_epoch{cfg.epochs}.npz", state.params, state.bn_state, state.opt_state,
         step=int(state.step), mask_values=mask_values,
     )
+    mlog.close()
     return state
