@@ -195,3 +195,55 @@ class TestS2dFusedLoss:
         p1 = make_eval_step(m_nhwc, 3)(params, state, x)
         p2 = make_eval_step(m_s2d, 3)(params, state, x)
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+class TestPallasConv:
+    """Interpret-mode exactness of the Pallas im2col kernel (CPU)."""
+
+    @pytest.mark.parametrize("cin,cout", [(16, 16), (32, 16), (8, 4)])
+    def test_forward_exact(self, cin, cout):
+        from unet_medical_image_contour_segmentation_tpu.ops.pallas_conv import (
+            conv_s2d_b4_im2col,
+        )
+
+        rng = np.random.default_rng(30)
+        x = jnp.asarray(rng.standard_normal((2, 24, 24, cin)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32)) * 0.1
+        want = conv2d(x, w, padding=1)
+        got = S.d2s(conv_s2d_b4_im2col(S.s2d(x, 4), w), 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_gradients_exact(self):
+        from unet_medical_image_contour_segmentation_tpu.ops.pallas_conv import (
+            conv_s2d_b4_im2col,
+        )
+        from unet_medical_image_contour_segmentation_tpu.ops.s2d import conv_s2d_xla
+
+        rng = np.random.default_rng(31)
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 16)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)).astype(np.float32)) * 0.1
+
+        def f_ref(x_, w_):
+            return jnp.sum(jnp.sin(conv_s2d_xla(S.s2d(x_, 4), w_, 4)))
+
+        def f_pal(x_, w_):
+            return jnp.sum(jnp.sin(conv_s2d_b4_im2col(S.s2d(x_, 4), w_)))
+
+        g1 = jax.grad(f_ref, argnums=(0, 1))(x, w)
+        g2 = jax.grad(f_pal, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                                   rtol=1e-4, atol=2e-4)
+
+    def test_dispatch_in_conv_s2d(self, monkeypatch):
+        """Opt-in Pallas dispatch matches the default XLA path."""
+        rng = np.random.default_rng(32)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 256)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 16, 16)).astype(np.float32)) * 0.1
+        want = S.conv_s2d(x, w, 4)
+        monkeypatch.setenv("UMICS_PALLAS", "1")
+        got = S.conv_s2d(x, w, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
