@@ -96,3 +96,51 @@ class TestSpatialParallel:
         agree = float(jnp.mean((tiled == full).astype(jnp.float32)))
         assert tiled.shape == full.shape
         assert agree > 0.99, f"tiled/full agreement {agree}"
+
+
+class TestYOLOv8Seg:
+    def test_forward_shapes(self):
+        from unet_medical_image_contour_segmentation_tpu.models.yolov8_seg import (
+            yolov8_seg_s,
+        )
+
+        model = yolov8_seg_s(1, 1, widths=(8, 16, 32, 64, 128), depths=(1, 1, 1, 1))
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 64, 64, 1))
+        logits, new_state = model.apply(params, state, x, train=True)
+        assert logits.shape == (1, 64, 64, 1)
+        assert set(new_state) == set(state)
+
+    def test_registry_and_contract(self):
+        m = get_model("yolov8_seg_s", n_channels=1, n_classes=1)
+        assert m.n_channels == 1 and m.n_classes == 1
+        assert m.widths == (32, 64, 128, 256, 512)
+
+    def test_trains_binary_path(self):
+        """The reference's YOLOv8 usage: binary compound loss (train.py:261)."""
+        from unet_medical_image_contour_segmentation_tpu.engine.optim import RMSpropConfig
+        from unet_medical_image_contour_segmentation_tpu.engine.train import (
+            init_train_state, make_train_step,
+        )
+        from unet_medical_image_contour_segmentation_tpu.losses.compound import LossConfig
+        from unet_medical_image_contour_segmentation_tpu.models.yolov8_seg import (
+            yolov8_seg_s,
+        )
+
+        model = yolov8_seg_s(1, 1, widths=(8, 16, 32, 64, 128), depths=(1, 1, 1, 1))
+        state = init_train_state(model, jax.random.PRNGKey(1))
+        step = jax.jit(make_train_step(
+            model, LossConfig(n_classes=1, boundary_edge_width=8),
+            RMSpropConfig(learning_rate=1e-3),
+        ))
+        rng = np.random.default_rng(1)
+        batch = {
+            "image": rng.random((2, 64, 64, 1), np.float32),
+            "mask": rng.integers(0, 3, (2, 64, 64)).astype(np.int32),
+        }
+        losses = []
+        for _ in range(4):
+            state, m = step(state, batch, 1e-3)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]

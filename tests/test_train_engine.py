@@ -218,3 +218,34 @@ class TestDataParallel:
         np.testing.assert_array_equal(
             np.asarray(pred), np.asarray(jnp.argmax(logits, axis=-1))
         )
+
+
+def test_parallel_fused_s2d_matches_single_device():
+    """64x64 inputs engage the s2d+fused-loss path inside shard_map."""
+    from unet_medical_image_contour_segmentation_tpu.models.unet import unet_s
+    from unet_medical_image_contour_segmentation_tpu.parallel import (
+        batch_sharding, make_data_mesh, make_parallel_train_step, replicate,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh = make_data_mesh(4)
+    model = unet_s(1, 3)  # layout=auto -> s2d at 64x64
+    loss_cfg = LossConfig(n_classes=3)
+    opt_cfg = RMSpropConfig(learning_rate=1e-4)
+
+    rng = np.random.default_rng(40)
+    batch = {
+        "image": rng.random((8, 64, 64, 1), np.float32),
+        "mask": rng.integers(0, 3, (8, 64, 64)).astype(np.int32),
+    }
+    state0 = init_train_state(model, jax.random.PRNGKey(7))
+    single = jax.jit(make_train_step(model, loss_cfg, opt_cfg))
+    s1, m1 = single(state0, batch, 1e-4)
+
+    pstep = make_parallel_train_step(model, loss_cfg, opt_cfg, mesh, donate=False)
+    state_r = replicate(init_train_state(model, jax.random.PRNGKey(7)), mesh)
+    s2, m2 = pstep(state_r, jax.device_put(batch, batch_sharding(mesh)), 1e-4)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    assert float(m1["grad_norm"]) == pytest.approx(float(m2["grad_norm"]), rel=1e-3)

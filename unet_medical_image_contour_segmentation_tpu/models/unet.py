@@ -149,10 +149,11 @@ def unet_sa(n_channels=1, n_classes=3, bilinear=False, **kw) -> UNet:
                 name="unet_sa", **kw)
 
 
-def _pp_registry():
+def _extra_registry():
     from .unet_nested import unet_pp, unet_pp_s
+    from .yolov8_seg import yolov8_seg_s
 
-    return {"unet_pp": unet_pp, "unet_pp_s": unet_pp_s}
+    return {"unet_pp": unet_pp, "unet_pp_s": unet_pp_s, "yolov8_seg_s": yolov8_seg_s}
 
 
 MODEL_REGISTRY = {
@@ -165,12 +166,12 @@ MODEL_REGISTRY = {
 
 def get_model(name: str, **kw):
     registry = dict(MODEL_REGISTRY)
-    if name.startswith("unet_pp"):
-        registry.update(_pp_registry())
+    if name not in registry:
+        registry.update(_extra_registry())
     try:
         return registry[name](**kw)
     except KeyError:
         raise ValueError(
             f"unknown model {name!r}; available: "
-            f"{sorted(MODEL_REGISTRY) + ['unet_pp', 'unet_pp_s']}"
+            f"{sorted(MODEL_REGISTRY) + ['unet_pp', 'unet_pp_s', 'yolov8_seg_s']}"
         )

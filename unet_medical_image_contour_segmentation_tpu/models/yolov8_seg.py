@@ -1,0 +1,210 @@
+"""YOLOv8-style segmentation network (runnable equivalent of a missing module).
+
+The reference imports ``YOLOv8_Seg_S`` from ``yolo.yolov8_seg_model``
+(``train.py:18``, ``export_model.py:5``) but the ``yolo/`` directory is
+absent from the repo; the model appears only in commented-out selection code
+(``train.py:261``, "~5 ms").  This module ships a runnable equivalent so the
+capability exists: a YOLOv8-S-shaped dense segmentation net — CSP backbone
+with C2f blocks and SPPF, an FPN-style top-down neck, and a proto-style mask
+head decoded back to input resolution — honoring the reference's model
+contract (``n_channels``/``n_classes`` attrs, logits at input resolution,
+binary-path training with the same compound loss).
+
+NHWC/TPU-native: ConvBnSiLU primitives on our exact-torch BN, bf16 compute
+option, same init/apply pytree style as the UNet family.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import blocks as B
+from ..ops.nn import batch_norm, conv2d, conv_transpose2d, max_pool2d
+
+__all__ = ["YOLOv8Seg", "yolov8_seg_s"]
+
+
+# ---------------------------------------------------------------------------
+# primitives: Conv(+s2) -> BN -> SiLU, Bottleneck, C2f, SPPF
+# ---------------------------------------------------------------------------
+
+def _init_cbs(key, k, cin, cout):
+    p = B.init_conv(key, k, k, cin, cout, bias=False)
+    bn_p, bn_s = B.init_bn(cout)
+    return {"conv": p, "bn": bn_p}, {"bn": bn_s}
+
+
+def _cbs(params, state, x, *, stride=1, train, cd, axis_name):
+    k = params["conv"]["w"].shape[0]
+    y = conv2d(x, params["conv"]["w"], stride=stride, padding=k // 2, compute_dtype=cd)
+    y, bn = batch_norm(
+        y, params["bn"]["scale"], params["bn"]["bias"],
+        state["bn"]["mean"], state["bn"]["var"], train=train, axis_name=axis_name,
+    )
+    y = (y.astype(jnp.float32) * jax.nn.sigmoid(y.astype(jnp.float32))).astype(y.dtype)
+    return y, {"bn": {"mean": bn[0], "var": bn[1]}}
+
+
+def _init_bottleneck(key, c):
+    k1, k2 = jax.random.split(key)
+    p1, s1 = _init_cbs(k1, 3, c, c)
+    p2, s2 = _init_cbs(k2, 3, c, c)
+    return {"cv1": p1, "cv2": p2}, {"cv1": s1, "cv2": s2}
+
+
+def _bottleneck(params, state, x, *, train, cd, axis_name):
+    y, s1 = _cbs(params["cv1"], state["cv1"], x, train=train, cd=cd, axis_name=axis_name)
+    y, s2 = _cbs(params["cv2"], state["cv2"], y, train=train, cd=cd, axis_name=axis_name)
+    return x + y, {"cv1": s1, "cv2": s2}  # residual shortcut
+
+
+def _init_c2f(key, cin, cout, n):
+    c = cout // 2
+    keys = jax.random.split(key, n + 2)
+    p1, s1 = _init_cbs(keys[0], 1, cin, cout)
+    p2, s2 = _init_cbs(keys[1], 1, (2 + n) * c, cout)
+    params = {"cv1": p1, "cv2": p2}
+    state = {"cv1": s1, "cv2": s2}
+    for i in range(n):
+        params[f"m{i}"], state[f"m{i}"] = _init_bottleneck(keys[2 + i], c)
+    return params, state
+
+
+def _c2f(params, state, x, n, *, train, cd, axis_name):
+    new_state = {}
+    y, new_state["cv1"] = _cbs(params["cv1"], state["cv1"], x, train=train, cd=cd,
+                               axis_name=axis_name)
+    c = y.shape[-1] // 2
+    parts = [y[..., :c], y[..., c:]]
+    for i in range(n):
+        nxt, new_state[f"m{i}"] = _bottleneck(
+            params[f"m{i}"], state[f"m{i}"], parts[-1],
+            train=train, cd=cd, axis_name=axis_name,
+        )
+        parts.append(nxt)
+    y = jnp.concatenate(parts, axis=-1)
+    y, new_state["cv2"] = _cbs(params["cv2"], state["cv2"], y, train=train, cd=cd,
+                               axis_name=axis_name)
+    return y, new_state
+
+
+def _init_sppf(key, c):
+    k1, k2 = jax.random.split(key)
+    p1, s1 = _init_cbs(k1, 1, c, c // 2)
+    p2, s2 = _init_cbs(k2, 1, c * 2, c)
+    return {"cv1": p1, "cv2": p2}, {"cv1": s1, "cv2": s2}
+
+
+def _maxpool5_same(x):
+    """5x5 stride-1 SAME max pool (SPPF)."""
+    from jax import lax
+
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 5, 5, 1), (1, 1, 1, 1),
+        [(0, 0), (2, 2), (2, 2), (0, 0)],
+    )
+
+
+def _sppf(params, state, x, *, train, cd, axis_name):
+    new_state = {}
+    y, new_state["cv1"] = _cbs(params["cv1"], state["cv1"], x, train=train, cd=cd,
+                               axis_name=axis_name)
+    p1 = _maxpool5_same(y)
+    p2 = _maxpool5_same(p1)
+    p3 = _maxpool5_same(p2)
+    y = jnp.concatenate([y, p1, p2, p3], axis=-1)
+    y, new_state["cv2"] = _cbs(params["cv2"], state["cv2"], y, train=train, cd=cd,
+                               axis_name=axis_name)
+    return y, new_state
+
+
+# ---------------------------------------------------------------------------
+# the model
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class YOLOv8Seg:
+    """CSP backbone + FPN neck + proto mask head -> dense seg logits."""
+
+    n_channels: int = 1
+    n_classes: int = 1
+    bilinear: bool = False  # contract parity with the UNet family (unused)
+    widths: Tuple[int, int, int, int, int] = (32, 64, 128, 256, 512)  # S scale
+    depths: Tuple[int, int, int, int] = (1, 2, 2, 1)
+    remat: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
+    name: str = "yolov8_seg_s"
+
+    def init(self, key):
+        w = self.widths
+        d = self.depths
+        keys = iter(jax.random.split(key, 32))
+        P, S = {}, {}
+        # backbone: stem (s2) -> [down s2 + C2f] x4 -> SPPF
+        P["stem"], S["stem"] = _init_cbs(next(keys), 3, self.n_channels, w[0])
+        for i in range(4):
+            P[f"down{i}"], S[f"down{i}"] = _init_cbs(next(keys), 3, w[i], w[i + 1])
+            P[f"c2f{i}"], S[f"c2f{i}"] = _init_c2f(next(keys), w[i + 1], w[i + 1], d[i])
+        P["sppf"], S["sppf"] = _init_sppf(next(keys), w[4])
+        # neck (top-down FPN): P5->P4, P4->P3
+        P["n4"], S["n4"] = _init_c2f(next(keys), w[4] + w[3], w[3], d[2])
+        P["n3"], S["n3"] = _init_c2f(next(keys), w[3] + w[2], w[2], d[1])
+        # proto mask head: P3 (stride 8) -> x2 -> x2 -> x2 -> logits at stride 1
+        c = w[2]
+        P["p_up1"] = B.init_conv_transpose(next(keys), 2, c, c // 2)
+        P["p_c1"], S["p_c1"] = _init_cbs(next(keys), 3, c // 2, c // 2)
+        P["p_up2"] = B.init_conv_transpose(next(keys), 2, c // 2, c // 4)
+        P["p_c2"], S["p_c2"] = _init_cbs(next(keys), 3, c // 4, c // 4)
+        P["p_up3"] = B.init_conv_transpose(next(keys), 2, c // 4, c // 4)
+        P["p_c3"], S["p_c3"] = _init_cbs(next(keys), 3, c // 4, c // 4)
+        P["head"] = B.init_out_conv(next(keys), c // 4, self.n_classes)
+        return P, S
+
+    def apply(self, params, state, x, *, train: bool = False, axis_name=None):
+        cd = self.compute_dtype
+        d = self.depths
+        NS = {}
+        kw = dict(train=train, cd=cd, axis_name=axis_name)
+
+        def cbs(name, t, stride=1):
+            y, NS[name] = _cbs(params[name], state[name], t, stride=stride, **kw)
+            return y
+
+        def c2f(name, t, n):
+            y, NS[name] = _c2f(params[name], state[name], t, n, **kw)
+            return y
+
+        y = cbs("stem", x, stride=2)                       # /2
+        feats = {}
+        for i in range(4):
+            y = cbs(f"down{i}", y, stride=2)               # /4 /8 /16 /32
+            y = c2f(f"c2f{i}", y, d[i])
+            feats[i] = y
+        y, NS["sppf"] = _sppf(params["sppf"], state["sppf"], y, **kw)   # P5 /32
+
+        # FPN top-down
+        up = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)  # nearest x2
+        p4 = c2f("n4", jnp.concatenate([up(y), feats[2]], axis=-1), d[2])      # /16
+        p3 = c2f("n3", jnp.concatenate([up(p4), feats[1]], axis=-1), d[1])     # /8
+
+        # proto head back to full resolution
+        t = conv_transpose2d(p3, params["p_up1"]["w"], params["p_up1"].get("b"),
+                             stride=2, compute_dtype=cd)                        # /4
+        t = cbs("p_c1", t)
+        t = conv_transpose2d(t, params["p_up2"]["w"], params["p_up2"].get("b"),
+                             stride=2, compute_dtype=cd)                        # /2
+        t = cbs("p_c2", t)
+        t = conv_transpose2d(t, params["p_up3"]["w"], params["p_up3"].get("b"),
+                             stride=2, compute_dtype=cd)                        # /1
+        t = cbs("p_c3", t)
+        logits = B.out_conv_apply(params["head"], t, compute_dtype=cd)
+        return logits.astype(jnp.float32), NS
+
+
+def yolov8_seg_s(n_channels=1, n_classes=1, **kw) -> YOLOv8Seg:
+    """YOLOv8_Seg_S equivalent (S width scale, binary seg default)."""
+    return YOLOv8Seg(n_channels=n_channels, n_classes=n_classes, **kw)
