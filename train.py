@@ -68,14 +68,29 @@ def main():
 
     state = None
     if cfg.load:
+        from unet_medical_image_contour_segmentation_tpu.engine.checkpoint import (
+            load_checkpoint,
+        )
         from unet_medical_image_contour_segmentation_tpu.engine.optim import init_rmsprop
         from unet_medical_image_contour_segmentation_tpu.engine.train import TrainState
         import jax.numpy as jnp
 
-        params, bn_state, _ = load_weights(cfg.load, bilinear=cfg.bilinear)
-        params = jax.tree.map(jnp.asarray, params)
-        state = TrainState(params, jax.tree.map(jnp.asarray, bn_state),
-                           init_rmsprop(params), jnp.zeros((), jnp.int32))
+        if str(cfg.load).endswith(".npz"):
+            # full resume: params + BN stats + optimizer state + step
+            ck = load_checkpoint(cfg.load)
+            params = jax.tree.map(jnp.asarray, ck["params"])
+            opt_state = (
+                jax.tree.map(jnp.asarray, ck["opt_state"])
+                if ck["opt_state"] is not None else init_rmsprop(params)
+            )
+            state = TrainState(params, jax.tree.map(jnp.asarray, ck["bn_state"]),
+                               opt_state, jnp.asarray(ck["step"], jnp.int32))
+        else:
+            # reference-compat .pth: weights + BN stats only (train.py:275-280)
+            params, bn_state, _ = load_weights(cfg.load, bilinear=cfg.bilinear)
+            params = jax.tree.map(jnp.asarray, params)
+            state = TrainState(params, jax.tree.map(jnp.asarray, bn_state),
+                               init_rmsprop(params), jnp.zeros((), jnp.int32))
         logging.info("Model loaded from %s", cfg.load)
 
     try:

@@ -5,6 +5,7 @@ from .data_parallel import (
     make_parallel_train_step,
     replicate,
 )
+from .distributed import initialize as distributed_initialize, is_multi_host, local_batch_slice
 from .spatial import make_spatial_forward, make_spatial_mesh, tiled_inference
 
 __all__ = [
@@ -13,6 +14,9 @@ __all__ = [
     "make_parallel_eval_step",
     "make_parallel_train_step",
     "replicate",
+    "distributed_initialize",
+    "is_multi_host",
+    "local_batch_slice",
     "make_spatial_forward",
     "make_spatial_mesh",
     "tiled_inference",
