@@ -47,7 +47,8 @@ def bench_ours(hw, batch, n_steps):
     model = unet_s(1, 3, bilinear=False, compute_dtype=jnp.bfloat16)
     state = init_train_state(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.random((batch, *hw, 1), np.float32))
+    # rank-3 image transfer: a (B,H,W,1) device buffer is lane-padded 128x
+    image = jnp.asarray(rng.random((batch, *hw), np.float32))
     mask = jnp.asarray(rng.integers(0, 3, (batch, *hw)).astype(np.int32))
     batch_data = {"image": image, "mask": mask}
 
@@ -78,7 +79,7 @@ def bench_ours(hw, batch, n_steps):
         def body(carry, _):
             pred = eval_forward(model, 3, state.params, state.bn_state, carry)
             # tiny feedback forces sequential execution of the chain
-            nxt = carry + 1e-12 * pred[..., None].astype(carry.dtype)
+            nxt = carry + 1e-12 * pred.astype(carry.dtype)
             return nxt, ()
         out, _ = lax.scan(body, x, None, length=n_steps)
         return jnp.sum(out[0, 0, 0])

@@ -77,6 +77,11 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     def producer():
         try:
             for batch in iterator:
+                # single-channel images go to the device rank-3: a (B,H,W,1)
+                # program input is lane-padded 128x in TPU HBM; (B,H,W) is
+                # dense.  The models re-expand the channel dim inside jit.
+                if "image" in batch and batch["image"].ndim == 4 and batch["image"].shape[-1] == 1:
+                    batch = dict(batch, image=batch["image"][..., 0])
                 if sharding is not None:
                     batch = jax.device_put(batch, sharding)
                 else:

@@ -166,7 +166,10 @@ def evaluate(
         pending = []
         batch_index = 0
         for batch in dataloader:
-            image = jnp.asarray(batch["image"])
+            image = batch["image"]
+            if image.ndim == 4 and image.shape[-1] == 1:
+                image = image[..., 0]  # rank-3 transfer: dense HBM layout
+            image = jnp.asarray(image)
             pred = eval_step(params, bn_state, image)
             batch_index += 1
             # device->host copy of the class indices only, then hand off

@@ -97,6 +97,8 @@ class Predictor:
         in_hw = images.shape[1:3]
         out_hw = tuple(out_hw or in_hw)
         run = self._step(tuple(in_hw), out_hw)
+        if images.ndim == 4 and images.shape[-1] == 1:
+            images = images[..., 0]  # rank-3 transfer avoids HBM lane padding
         return np.asarray(run(self.params, self.bn_state, jnp.asarray(images)))
 
     def predict_image(self, img: Image.Image, postprocess: bool = True) -> np.ndarray:

@@ -235,10 +235,11 @@ def train_model(
         t0 = time.perf_counter()
         n_seen = 0
         for batch in prefetch_to_device(iter(train_loader), sharding=batch_sharding_):
-            if batch["image"].shape[-1] != model.n_channels:
+            n_ch = 1 if batch["image"].ndim == 3 else batch["image"].shape[-1]
+            if n_ch != model.n_channels:
                 raise AssertionError(
                     f"Network has been defined with {model.n_channels} input channels, "
-                    f"but loaded images have {batch['image'].shape[-1]} channels."
+                    f"but loaded images have {n_ch} channels."
                 )
             state, metrics = step_fn(state, batch, lr)
             global_step += 1

@@ -29,6 +29,8 @@ def output_block(model) -> int:
 def supports_s2d(model, x_shape) -> bool:
     if model.bilinear:
         return False
+    if len(x_shape) == 3:
+        x_shape = (*x_shape, 1)
     h, w = x_shape[1], x_shape[2]
     b0 = S.block_for_channels(model.widths[0])
     need = 16 * max(b0, 1)
@@ -84,6 +86,9 @@ def apply_s2d(model, params, state, x, *, train: bool = False, axis_name=None,
     (class, dy, dx) so per-class tensors are contiguous slices
     (losses/s2d_fused.py).  Call with the defaults to get NHWC logits.
     """
+    if x.ndim == 3:  # rank-3 single-channel input (dense program layout)
+        x = x[..., None]
+    assert not (class_major and d2s_output), "class-major lanes cannot be d2s'd"
     w = model.widths
     cd = model.compute_dtype
     ckpt = (lambda f: jax.checkpoint(f)) if model.remat else (lambda f: f)
@@ -133,7 +138,6 @@ def apply_s2d(model, params, state, x, *, train: bool = False, axis_name=None,
                              train=train, cd=cd, axis_name=axis_name)
         new_state[f"up{i}"] = {"conv": ns}
 
-    assert not (class_major and d2s_output), "class-major lanes cannot be d2s'd"
     head = S.conv1x1_s2d_class_major if class_major else S.conv1x1_s2d
     logits = head(y, params["outc"]["w"], y_b,
                   params["outc"].get("b"), compute_dtype=cd)

@@ -78,6 +78,8 @@ class UNetPlusPlus:
         return params, state
 
     def apply(self, params, state, x, *, train: bool = False, axis_name=None):
+        if x.ndim == 3:
+            x = x[..., None]
         d = self.depth
         cd = self.compute_dtype
         new_state = {}

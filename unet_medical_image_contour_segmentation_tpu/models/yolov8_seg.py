@@ -165,6 +165,8 @@ class YOLOv8Seg:
         return P, S
 
     def apply(self, params, state, x, *, train: bool = False, axis_name=None):
+        if x.ndim == 3:
+            x = x[..., None]
         cd = self.compute_dtype
         d = self.depths
         NS = {}
