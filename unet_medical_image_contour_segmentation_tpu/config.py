@@ -10,7 +10,7 @@ selection (``train.py:250-261``) and inline loss weights (``train.py:134``,
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 __all__ = ["TrainConfig", "PostProcessConfig", "PipelineConfig", "add_dataclass_args", "dataclass_from_args"]
 

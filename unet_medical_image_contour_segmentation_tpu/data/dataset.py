@@ -17,7 +17,7 @@ from concurrent.futures import ThreadPoolExecutor
 from os import listdir
 from os.path import isfile, join, splitext
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 from PIL import Image

@@ -15,7 +15,7 @@ same practical contract as the reference's deployed ConvTranspose models.
 from __future__ import annotations
 
 import logging
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

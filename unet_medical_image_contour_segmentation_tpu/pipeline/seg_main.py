@@ -14,7 +14,7 @@ from __future__ import annotations
 import logging
 import os
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 from ..config import PipelineConfig
 from .letterbox import PngDenormalizer, PngNormalizer
