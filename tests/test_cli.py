@@ -1,0 +1,117 @@
+"""Subprocess smoke tests for the shipped CLI entry points."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = Path(__file__).resolve().parent.parent
+
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    PYTHONPATH=str(REPO),
+)
+
+
+def _run(args, cwd):
+    return subprocess.run(
+        [sys.executable, *args], cwd=cwd, env=ENV,
+        capture_output=True, text=True, timeout=1200,
+    )
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    """A random-weight UNet_T checkpoint on disk (.npz)."""
+    tmp = tmp_path_factory.mktemp("ckpt")
+    import jax
+
+    sys.path.insert(0, str(REPO))
+    from unet_medical_image_contour_segmentation_tpu.engine.checkpoint import save_checkpoint
+    from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+    model = unet_t(1, 3)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    path = tmp / "model.npz"
+    save_checkpoint(str(path), params, bn_state, mask_values=[0, 128, 255])
+    return str(path)
+
+
+def test_predict_cli(tmp_path, checkpoint):
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (64, 64), dtype=np.uint8)).save(
+            tmp_path / f"img{i}.png"
+        )
+    r = _run(
+        ["predict.py", "-m", checkpoint, "--arch", "unet_t",
+         "-i", str(tmp_path), "-o", str(tmp_path / "out")],
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    outs = sorted(os.listdir(tmp_path / "out"))
+    assert outs == ["img0.png", "img1.png"]
+    vals = set(np.unique(np.asarray(Image.open(tmp_path / "out" / "img0.png"))))
+    assert vals <= {0, 128, 255}
+
+
+def test_train_cli(tmp_path, checkpoint):
+    rng = np.random.default_rng(1)
+    for split in ("train", "val"):
+        (tmp_path / "imgs" / split).mkdir(parents=True)
+        (tmp_path / "masks" / split).mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 255, (64, 64), dtype=np.uint8)).save(
+                tmp_path / "imgs" / split / f"c{i}.png")
+            Image.fromarray(rng.choice([0, 128, 255], (64, 64)).astype(np.uint8)).save(
+                tmp_path / "masks" / split / f"c{i}_mask.png")
+    r = _run(
+        [str(REPO / "train.py"), "--model", "unet_t", "--epochs", "1",
+         "--batch-size", "2", "--scale", "0.5", "--data-root", str(tmp_path),
+         "--load", checkpoint],
+        cwd=tmp_path,  # writes model_epoch1.npz and predictions/ here
+    )
+    assert r.returncode == 0, (r.stderr or "")[-2000:]
+    assert (tmp_path / "model_epoch1.npz").exists()
+
+
+def test_seg_main_cli(tmp_path, checkpoint):
+    rng = np.random.default_rng(2)
+    raw_dir = tmp_path / "raws"
+    raw_dir.mkdir()
+    frame = rng.integers(20000, 40000, (96, 128), dtype=np.uint16)
+    frame[30:70, 40:100] = 60000
+    with open(raw_dir / "scan.raw", "wb") as f:
+        f.write(frame.astype("<u2").tobytes())
+
+    r = _run(
+        [str(REPO / "seg_main.py"), "--input-raw", str(raw_dir),
+         "-o", str(tmp_path / "results"), "--width", "128", "--height", "96",
+         "-ww", "30000", "-wl", "35000", "-m", checkpoint,
+         "--target-size", "64"],
+        cwd=tmp_path,
+    )
+    # the random-weight model may find no contours in stage 5; stages 1-4
+    # must still produce artifacts and the failure must be the documented one
+    for stage in ["1_raw_png", "2_normalized_png", "3_pred_masks", "4_denormalized_masks"]:
+        assert os.listdir(tmp_path / "results" / stage), f"{stage} empty"
+    if r.returncode != 0:
+        assert "stage 5" in (r.stderr + r.stdout) or "mask2polygon" in (r.stderr + r.stdout)
+
+
+def test_export_cli(tmp_path, checkpoint):
+    out = tmp_path / "model.stablehlo"
+    r = _run(
+        [str(REPO / "export_model.py"), "-m", checkpoint, "--arch", "unet_t",
+         "-o", str(out)],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, (r.stderr or "")[-2000:]
+    assert out.exists() and out.stat().st_size > 1000

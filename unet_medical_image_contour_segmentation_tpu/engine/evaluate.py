@@ -53,7 +53,7 @@ def eval_forward(model, n_classes: int, params, bn_state, image) -> jnp.ndarray:
                     train=False, d2s_output=False, class_major=True,
                 )
                 pred = argmax_class_major(logits_cm, n_classes)
-                return d2s_int(pred, output_block(model))
+                return d2s_int(pred, output_block(model, params))
         except (ImportError, AttributeError):
             pass
     logits, _ = model.apply(params, bn_state, image, train=False)

@@ -83,7 +83,7 @@ class Predictor:
                         train=False, d2s_output=False, class_major=True,
                     )
                     pred = argmax_class_major(logits_cm, n_classes)
-                    return d2s_int(pred, output_block(model))
+                    return d2s_int(pred, output_block(model, params))
             logits, _ = model.apply(params, bn_state, images, train=False)
             logits = bilinear_resize(
                 logits.astype(jnp.float32), out_hw[0], out_hw[1], align_corners=False

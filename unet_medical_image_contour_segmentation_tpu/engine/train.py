@@ -91,7 +91,7 @@ def make_train_step(
                     train=True, axis_name=axis_name,
                     d2s_output=False, class_major=True,
                 )
-                b0 = output_block(model)
+                b0 = output_block(model, params)
                 loss, metrics = compute_loss_s2d_multiclass(
                     logits_cm, s2d_int(batch["mask"], b0), loss_cfg, axis_name
                 )

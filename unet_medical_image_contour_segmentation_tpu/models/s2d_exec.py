@@ -21,9 +21,18 @@ from ..ops.nn import max_pool2d
 __all__ = ["supports_s2d", "apply_s2d"]
 
 
-def output_block(model) -> int:
+def _widths_from_params(params):
+    """Actual per-level widths — the params are the truth, not model.widths
+    (a checkpoint of any variant may be loaded into any UNet shell, as the
+    reference's predict CLI does with its hardcoded UNet)."""
+    keys = ["inc", "down1", "down2", "down3", "down4"]
+    return tuple(int(params[k]["conv2"]["w"].shape[-1]) for k in keys)
+
+
+def output_block(model, params=None) -> int:
     """Block size of the s2d logits (level-0 plan entry)."""
-    return S.block_for_channels(model.widths[0])
+    w0 = _widths_from_params(params)[0] if params is not None else model.widths[0]
+    return S.block_for_channels(w0)
 
 
 def supports_s2d(model, x_shape) -> bool:
@@ -32,8 +41,9 @@ def supports_s2d(model, x_shape) -> bool:
     if len(x_shape) == 3:
         x_shape = (*x_shape, 1)
     h, w = x_shape[1], x_shape[2]
-    b0 = S.block_for_channels(model.widths[0])
-    need = 16 * max(b0, 1)
+    # conservative: divisible for the largest possible block plan (b0 = 4),
+    # since the loaded params may be narrower than model.widths declares
+    need = 16 * 4
     return h % need == 0 and w % need == 0
 
 
@@ -89,7 +99,7 @@ def apply_s2d(model, params, state, x, *, train: bool = False, axis_name=None,
     if x.ndim == 3:  # rank-3 single-channel input (dense program layout)
         x = x[..., None]
     assert not (class_major and d2s_output), "class-major lanes cannot be d2s'd"
-    w = model.widths
+    w = _widths_from_params(params)
     cd = model.compute_dtype
     ckpt = (lambda f: jax.checkpoint(f)) if model.remat else (lambda f: f)
 
