@@ -95,3 +95,24 @@ def test_train_model_resume_from_pth(data_root, tmp_path, monkeypatch, reference
                save_checkpoint=False)
     out = train_model(cfg, state=state)
     assert int(out.step) == 4
+
+
+def test_train_model_binary_path(data_root, tmp_path, monkeypatch):
+    """n_classes=1: BCE+dice+boundary loss and the binary evaluate path."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(data_root, tmp_path, classes=1, epochs=1,
+               boundary_edge_width=8, save_checkpoint=False)
+    state = train_model(cfg)
+    assert int(state.step) == 4
+    # binary prediction dumps exist ({0,255} value map)
+    preds = [p for p in (tmp_path / "preds" / "epoch_1").iterdir() if p.suffix == ".png"]
+    assert preds
+
+
+def test_train_model_bilinear(data_root, tmp_path, monkeypatch):
+    """bilinear=True exercises the align_corners=True upsample (NHWC path)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(data_root, tmp_path, bilinear=True, epochs=1,
+               save_val_predictions=False, save_checkpoint=False)
+    state = train_model(cfg)
+    assert int(state.step) == 4
