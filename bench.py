@@ -31,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 BASELINE_CACHE = Path(__file__).resolve().parent / ".bench_baseline.json"
 
 
-def bench_ours(hw, batch, n_steps):
+def bench_ours(hw, batch, n_steps, model_name="unet_s"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -42,9 +42,10 @@ def bench_ours(hw, batch, n_steps):
         init_train_state, make_train_step,
     )
     from unet_medical_image_contour_segmentation_tpu.losses.compound import LossConfig
-    from unet_medical_image_contour_segmentation_tpu.models.unet import unet_s
+    from unet_medical_image_contour_segmentation_tpu.models.unet import get_model
 
-    model = unet_s(1, 3, bilinear=False, compute_dtype=jnp.bfloat16)
+    model = get_model(model_name, n_channels=1, n_classes=3, bilinear=False,
+                      compute_dtype=jnp.bfloat16)
     state = init_train_state(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     # rank-3 image transfer: a (B,H,W,1) device buffer is lane-padded 128x
@@ -155,12 +156,13 @@ def main():
     parser.add_argument("--hw", type=int, default=512)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--model", default="unet_s")
     parser.add_argument("--baseline-steps", type=int, default=3)
     parser.add_argument("--refresh-baseline", action="store_true")
     args = parser.parse_args()
     hw = (args.hw, args.hw)
 
-    train_sps, pred_sps = bench_ours(hw, args.batch, args.steps)
+    train_sps, pred_sps = bench_ours(hw, args.batch, args.steps, args.model)
     ours = combined(train_sps, pred_sps)
 
     key = f"{args.hw}x{args.hw}_b{args.batch}"
@@ -179,7 +181,7 @@ def main():
     baseline = cache.get(key, {}).get("combined")
 
     result = {
-        "metric": f"{args.hw}x{args.hw} slices/sec/chip (train+predict, unet_s)",
+        "metric": f"{args.hw}x{args.hw} slices/sec/chip (train+predict, {args.model})",
         "value": round(ours, 2),
         "unit": "slices/s",
         "vs_baseline": round(ours / baseline, 2) if baseline else None,
