@@ -247,3 +247,37 @@ class TestPallasConv:
         got = S.conv_s2d(x, w, 4)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestUNetPlusPlusS2d:
+    @pytest.mark.parametrize("train", [True, False])
+    def test_matches_nhwc(self, train):
+        from unet_medical_image_contour_segmentation_tpu.models.unet_nested import unet_pp_s
+
+        nhwc = unet_pp_s(1, 3, layout="nhwc")
+        s2d_m = unet_pp_s(1, 3, layout="s2d")
+        params, state = nhwc.init(jax.random.PRNGKey(8))
+        x = jnp.asarray(_rand(1, 64, 64, 1, seed=40))
+        want, ws = nhwc.apply(params, state, x, train=train)
+        got, gs = s2d_m.apply(params, state, x, train=train)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+        for a, b in zip(jax.tree.leaves(ws), jax.tree.leaves(gs)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    def test_fused_interface(self):
+        from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+            argmax_class_major,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.unet_nested import unet_pp_s
+        from unet_medical_image_contour_segmentation_tpu.ops.s2d import d2s_int
+
+        model = unet_pp_s(1, 3)
+        params, state = model.init(jax.random.PRNGKey(9))
+        x = jnp.asarray(_rand(1, 64, 64, 1, seed=41))
+        assert model.supports_fused(x.shape)
+        logits_cm, _, b0 = model.apply_fused(params, state, x, train=False)
+        pred = d2s_int(argmax_class_major(logits_cm, 3), b0)
+        logits, _ = model.apply(params, state, x, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(pred), np.asarray(jnp.argmax(logits, axis=-1))
+        )

@@ -41,21 +41,17 @@ def eval_forward(model, n_classes: int, params, bn_state, image) -> jnp.ndarray:
     class-major lane slices then a dense integer d2s — no padded (H, W, C)
     logits ever hit HBM.
     """
-    if n_classes > 1 and getattr(model, "layout", "nhwc") in ("auto", "s2d"):
-        try:
-            from ..losses.s2d_fused import argmax_class_major
-            from ..models.s2d_exec import apply_s2d, output_block, supports_s2d
-            from ..ops.s2d import d2s_int
+    if (
+        n_classes > 1
+        and hasattr(model, "supports_fused")
+        and model.supports_fused(image.shape)
+    ):
+        from ..losses.s2d_fused import argmax_class_major
+        from ..ops.s2d import d2s_int
 
-            if supports_s2d(model, image.shape):
-                logits_cm, _ = apply_s2d(
-                    model, params, bn_state, image,
-                    train=False, d2s_output=False, class_major=True,
-                )
-                pred = argmax_class_major(logits_cm, n_classes)
-                return d2s_int(pred, output_block(model, params))
-        except (ImportError, AttributeError):
-            pass
+        logits_cm, _, b0 = model.apply_fused(params, bn_state, image, train=False)
+        pred = argmax_class_major(logits_cm, n_classes)
+        return d2s_int(pred, b0)
     logits, _ = model.apply(params, bn_state, image, train=False)
     if n_classes == 1:
         prob = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))

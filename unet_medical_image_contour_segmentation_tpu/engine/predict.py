@@ -71,19 +71,15 @@ class Predictor:
             if (
                 out_hw == in_hw
                 and n_classes > 1
-                and getattr(model, "layout", "nhwc") in ("auto", "s2d")
+                and hasattr(model, "supports_fused")
+                and model.supports_fused(images.shape)
             ):
                 from ..losses.s2d_fused import argmax_class_major
-                from ..models.s2d_exec import apply_s2d, output_block, supports_s2d
                 from ..ops.s2d import d2s_int
 
-                if supports_s2d(model, images.shape):
-                    logits_cm, _ = apply_s2d(
-                        model, params, bn_state, images,
-                        train=False, d2s_output=False, class_major=True,
-                    )
-                    pred = argmax_class_major(logits_cm, n_classes)
-                    return d2s_int(pred, output_block(model, params))
+                logits_cm, _, b0 = model.apply_fused(params, bn_state, images, train=False)
+                pred = argmax_class_major(logits_cm, n_classes)
+                return d2s_int(pred, b0)
             logits, _ = model.apply(params, bn_state, images, train=False)
             logits = bilinear_resize(
                 logits.astype(jnp.float32), out_hw[0], out_hw[1], align_corners=False

@@ -69,29 +69,19 @@ def make_train_step(
     def _use_fused_s2d(image_shape) -> bool:
         if loss_cfg.n_classes <= 1 or loss_cfg.multiclass_boundary:
             return False
-        if getattr(model, "layout", "nhwc") not in ("auto", "s2d"):
-            return False
-        try:
-            from ..models.s2d_exec import supports_s2d
-
-            return supports_s2d(model, image_shape)
-        except (ImportError, AttributeError):
-            return False
+        return hasattr(model, "supports_fused") and model.supports_fused(image_shape)
 
     def step_fn(state: TrainState, batch, lr):
         def loss_fn(params):
             if _use_fused_s2d(batch["image"].shape):
                 # class-major s2d logits + fused loss: no padded NHWC tensors
-                from ..models.s2d_exec import apply_s2d, output_block
                 from ..losses.s2d_fused import compute_loss_s2d_multiclass
                 from ..ops.s2d import s2d_int
 
-                logits_cm, new_bn = apply_s2d(
-                    model, params, state.bn_state, batch["image"],
+                logits_cm, new_bn, b0 = model.apply_fused(
+                    params, state.bn_state, batch["image"],
                     train=True, axis_name=axis_name,
-                    d2s_output=False, class_major=True,
                 )
-                b0 = output_block(model, params)
                 loss, metrics = compute_loss_s2d_multiclass(
                     logits_cm, s2d_int(batch["mask"], b0), loss_cfg, axis_name
                 )

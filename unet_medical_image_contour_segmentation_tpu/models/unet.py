@@ -124,6 +124,28 @@ class UNet:
         # the loss in the reference).
         return logits.astype(jnp.float32), new_state
 
+    # -- fused s2d interface (engine/train, evaluate, predict use this) ------
+    def supports_fused(self, x_shape) -> bool:
+        """Can apply_fused run for this input shape?"""
+        if self.layout not in ("auto", "s2d"):
+            return False
+        from .s2d_exec import supports_s2d
+
+        return supports_s2d(self, x_shape)
+
+    def apply_fused(self, params, state, x, *, train: bool = False, axis_name=None):
+        """Class-major s2d logits for fused loss/eval paths.
+
+        Returns (logits_cm [B,H/b,W/b,n_classes*b*b], new_state, b).
+        """
+        from .s2d_exec import apply_s2d, output_block
+
+        logits_cm, new_state = apply_s2d(
+            self, params, state, x, train=train, axis_name=axis_name,
+            d2s_output=False, class_major=True,
+        )
+        return logits_cm, new_state, output_block(self, params)
+
     def with_options(self, **kw) -> "UNet":
         return dataclasses.replace(self, **kw)
 

@@ -38,6 +38,7 @@ class UNetPlusPlus:
     deep_supervision: bool = False
     remat: bool = False
     compute_dtype: Optional[jnp.dtype] = None
+    layout: str = "auto"  # "auto" | "nhwc" | "s2d" (see _apply_s2d)
     name: str = "unet_pp_s"
 
     @property
@@ -80,6 +81,20 @@ class UNetPlusPlus:
     def apply(self, params, state, x, *, train: bool = False, axis_name=None):
         if x.ndim == 3:
             x = x[..., None]
+        if self.layout in ("auto", "s2d") and self.supports_fused(x.shape):
+            logits_s2d, new_state, b0 = self._apply_s2d(
+                params, state, x, train=train, axis_name=axis_name, class_major=False
+            )
+            from ..ops.s2d import d2s
+
+            return d2s(logits_s2d, b0), new_state
+        if self.layout == "s2d":
+            raise ValueError(
+                f"s2d layout unsupported for input {x.shape} (bilinear={self.bilinear})"
+            )
+        return self._apply_nhwc(params, state, x, train=train, axis_name=axis_name)
+
+    def _apply_nhwc(self, params, state, x, *, train: bool = False, axis_name=None):
         d = self.depth
         cd = self.compute_dtype
         new_state = {}
@@ -127,6 +142,75 @@ class UNetPlusPlus:
         else:
             logits = B.out_conv_apply(params["outc"], nodes[(0, d - 1)], compute_dtype=cd)
         return logits.astype(jnp.float32), new_state
+
+    # -- s2d execution (same layout machinery as models/s2d_exec.py) ---------
+    def supports_fused(self, x_shape) -> bool:
+        if self.bilinear or self.layout not in ("auto", "s2d"):
+            return False
+        if self.deep_supervision:
+            return False  # multiple heads; keep the NHWC path
+        if len(x_shape) == 3:
+            x_shape = (*x_shape, 1)
+        return x_shape[1] % 64 == 0 and x_shape[2] % 64 == 0
+
+    def apply_fused(self, params, state, x, *, train: bool = False, axis_name=None):
+        logits_cm, new_state, b0 = self._apply_s2d(
+            params, state, x, train=train, axis_name=axis_name, class_major=True
+        )
+        return logits_cm, new_state, b0
+
+    def _apply_s2d(self, params, state, x, *, train, axis_name, class_major):
+        from ..ops import s2d as S
+        from .s2d_exec import _double_conv, _pool
+
+        if x.ndim == 3:
+            x = x[..., None]
+        d = self.depth
+        cd = self.compute_dtype
+        ckpt = (lambda f: jax.checkpoint(f)) if self.remat else (lambda f: f)
+        # actual widths from the params (checkpoints may differ from config)
+        w = [int(params[f"x{i}_0"]["conv2"]["w"].shape[-1]) for i in range(d)]
+        blocks = [S.block_for_channels(c) for c in w]
+        new_state = {}
+
+        def dc(name, t, b):
+            fn = ckpt(lambda p, s, u: _double_conv(p, s, u, b, None, train=train,
+                                                   cd=cd, axis_name=axis_name))
+            y, ns = fn(params[name], state[name], t)
+            new_state[name] = ns
+            return y
+
+        nodes = {}
+        cur, cur_b = S.s2d(x, blocks[0]), blocks[0]
+        nodes[(0, 0)] = dc("x0_0", cur, blocks[0])
+        for i in range(1, d):
+            cur, cur_b = _pool(nodes[(i - 1, 0)], blocks[i - 1])
+            if cur_b != blocks[i]:
+                cur = S.repack(cur, cur_b, blocks[i])
+            nodes[(i, 0)] = dc(f"x{i}_0", cur, blocks[i])
+
+        for j in range(1, d):
+            for i in range(d - j):
+                b = blocks[i]
+                skips = [nodes[(i, k)] for k in range(j)]
+                p_up = params[f"up{i}_{j}"]
+                upped = S.conv_transpose2_s2d(
+                    nodes[(i + 1, j - 1)], p_up["w"], blocks[i + 1],
+                    p_up.get("b"), compute_dtype=cd,
+                )
+                up_b = 2 * blocks[i + 1]
+                if up_b != b:
+                    upped = S.repack(upped, up_b, b)
+                feats = S.concat_s2d(
+                    skips + [upped.astype(skips[0].dtype)], b, [w[i]] * j + [w[i]]
+                )
+                nodes[(i, j)] = dc(f"x{i}_{j}", feats, b)
+
+        b0 = blocks[0]
+        head = S.conv1x1_s2d_class_major if class_major else S.conv1x1_s2d
+        logits = head(nodes[(0, d - 1)], params["outc"]["w"], b0,
+                      params["outc"].get("b"), compute_dtype=cd)
+        return logits.astype(jnp.float32), new_state, b0
 
     def with_options(self, **kw) -> "UNetPlusPlus":
         return dataclasses.replace(self, **kw)
