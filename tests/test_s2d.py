@@ -281,3 +281,40 @@ class TestUNetPlusPlusS2d:
         np.testing.assert_array_equal(
             np.asarray(pred), np.asarray(jnp.argmax(logits, axis=-1))
         )
+
+
+class TestBNFolding:
+    def test_folded_eval_matches_live(self):
+        from unet_medical_image_contour_segmentation_tpu.models.fold_bn import (
+            fold_unet_params,
+        )
+
+        model = unet_s(1, 3, layout="s2d")
+        params, state = model.init(jax.random.PRNGKey(10))
+        # non-trivial BN stats
+        state = jax.tree.map(
+            lambda a: a + 0.1 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size,
+            state,
+        )
+        x = jnp.asarray(_rand(2, 64, 64, 1, seed=50))
+
+        want, _ = model.apply(params, state, x, train=False)
+        folded = fold_unet_params(params, state)
+        logits_cm, _, b0 = model.apply_fused(folded, None, x, train=False)
+        # convert class-major s2d lanes back for comparison
+        g = b0 * b0
+        got = logits_cm.reshape(*logits_cm.shape[:-1], 3, g)
+        got = jnp.moveaxis(got, -2, -1).reshape(*logits_cm.shape[:-1], g * 3)
+        got = S.d2s(got, b0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_predictor_folded_matches_unfolded(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+
+        model = unet_s(1, 3)
+        params, state = model.init(jax.random.PRNGKey(11))
+        x = _rand(2, 64, 64, 1, seed=51)
+        p1 = Predictor(model, params, state, fold_bn=False).predict_array(x)
+        p2 = Predictor(model, params, state, fold_bn=True).predict_array(x)
+        np.testing.assert_array_equal(p1, p2)

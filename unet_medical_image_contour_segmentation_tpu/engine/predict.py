@@ -53,18 +53,33 @@ def collect_image_files(input_dir: str) -> List[str]:
 
 
 class Predictor:
-    """Batched jitted predictor for a fixed model + parameters."""
+    """Batched jitted predictor for a fixed model + parameters.
 
-    def __init__(self, model, params, bn_state, batch_size: int = 8):
+    ``fold_bn=True`` (default) pre-folds the BatchNorm affines into the conv
+    weights for the fused s2d inference path — numerically exact for eval
+    mode, and skips every BN pass over the big activation tensors.
+    """
+
+    def __init__(self, model, params, bn_state, batch_size: int = 8,
+                 fold_bn: bool = True):
         self.model = model
         self.params = params
         self.bn_state = bn_state
         self.batch_size = batch_size
+        self.folded_params = None
+        if fold_bn:
+            try:
+                from ..models.fold_bn import fold_unet_params
+
+                self.folded_params = fold_unet_params(params, bn_state)
+            except (KeyError, TypeError):
+                pass  # non-UNet-topology params: fall back to live BN
 
     @functools.lru_cache(maxsize=32)
     def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
         model = self.model
         n_classes = getattr(model, "n_classes", 0)
+        folded = self.folded_params
 
         @jax.jit
         def run(params, bn_state, images):
@@ -77,7 +92,10 @@ class Predictor:
                 from ..losses.s2d_fused import argmax_class_major
                 from ..ops.s2d import d2s_int
 
-                logits_cm, _, b0 = model.apply_fused(params, bn_state, images, train=False)
+                if folded is not None:
+                    logits_cm, _, b0 = model.apply_fused(folded, None, images, train=False)
+                else:
+                    logits_cm, _, b0 = model.apply_fused(params, bn_state, images, train=False)
                 pred = argmax_class_major(logits_cm, n_classes)
                 return d2s_int(pred, b0)
             logits, _ = model.apply(params, bn_state, images, train=False)

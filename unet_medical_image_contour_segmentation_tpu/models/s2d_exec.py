@@ -48,7 +48,19 @@ def supports_s2d(model, x_shape) -> bool:
 
 
 def _double_conv(params, state, x, b, cin_unused, *, train, cd, axis_name):
-    """DoubleConv in s2d-b layout; returns (y, new_state)."""
+    """DoubleConv in s2d-b layout; returns (y, new_state).
+
+    Folded eval params (no ``bn*`` keys, conv biases carry the BN affine —
+    models/fold_bn.py) skip the BatchNorm passes entirely.
+    """
+    if "bn1" not in params:  # BN-folded inference path
+        assert not train, "folded parameters are eval-only"
+        y = S.conv_s2d(x, params["conv1"]["w"], b, params["conv1"]["b"],
+                       compute_dtype=cd)
+        y = jax.nn.relu(y)
+        y = S.conv_s2d(y, params["conv2"]["w"], b, params["conv2"]["b"],
+                       compute_dtype=cd)
+        return jax.nn.relu(y), {}
     y = S.conv_s2d(x, params["conv1"]["w"], b, compute_dtype=cd)
     y, bn1 = S.batch_norm_s2d(
         y, params["bn1"]["scale"], params["bn1"]["bias"],
@@ -109,7 +121,7 @@ def apply_s2d(model, params, state, x, *, train: bool = False, axis_name=None,
     def dc(name, x, b):
         fn = ckpt(lambda p, s, t: _double_conv(p, s, t, b, None, train=train,
                                                cd=cd, axis_name=axis_name))
-        y, ns = fn(params[name], state[name], x)
+        y, ns = fn(params[name], state[name] if state is not None else None, x)
         new_state[name] = ns
         return y
 
@@ -144,7 +156,8 @@ def apply_s2d(model, params, state, x, *, train: bool = False, axis_name=None,
             skip = _attention(p["att"], skip, skip_b, skip_c, cd=cd)
         up_c = in_c // 2
         y = S.concat_s2d([skip, y.astype(skip.dtype)], y_b, [skip_c, up_c])
-        y, ns = _double_conv(p["conv"], state[f"up{i}"]["conv"], y, y_b, None,
+        up_state = state[f"up{i}"]["conv"] if state is not None else None
+        y, ns = _double_conv(p["conv"], up_state, y, y_b, None,
                              train=train, cd=cd, axis_name=axis_name)
         new_state[f"up{i}"] = {"conv": ns}
 
