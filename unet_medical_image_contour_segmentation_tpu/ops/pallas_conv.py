@@ -69,21 +69,41 @@ def _w_im2col(w: jnp.ndarray) -> jnp.ndarray:
     return wim.reshape(WIN * WIN * cin, B4 * B4 * cout)
 
 
-def _kernel(xp_hbm, wim_ref, out_ref, xs, patch, sem, *, tr, g, cin):
-    i = pl.program_id(1)
-    lanes_in = 16 * cin
+def _kernel(xp_hbm, wim_ref, out_ref, xs, patch, sems, *, tr, g, cin):
+    """One (batch, row-tile) grid cell with double-buffered halo DMA.
 
-    cp = pltpu.make_async_copy(
-        xp_hbm.at[pl.program_id(0), pl.ds(i * tr, tr + 2)], xs, sem
-    )
-    cp.start()
-    cp.wait()
+    The row-tile DMAs are prefetched one tile ahead (2-slot scratch), so the
+    HBM->VMEM latency hides under the previous tile's assembly + matmul —
+    without this the ~128 serialized DMA waits dominate the kernel.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    slot = i % 2
+    nxt = (i + 1) % 2
+
+    def dma(tile_idx, slot_idx):
+        return pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(tile_idx * tr, tr + 2)], xs.at[slot_idx],
+            sems.at[slot_idx],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        dma(i + 1, nxt).start()
+
+    dma(i, slot).wait()
+    rows_all = xs[slot]
 
     # assemble the (TR, G, 36*Cin) patch from contiguous lane slices
     for wu in range(WIN):
         goff = (3 + wu) // B4   # grid-row offset 0..2
         di = (3 + wu) % B4      # intra-block row of the source lanes
-        rows = xs[goff : goff + tr]
+        rows = rows_all[goff : goff + tr]
         base = wu * WIN * cin
         # wv = 0: right edge (dj=3) of the left neighbor column
         patch[:, :, base : base + cin] = (
@@ -123,9 +143,9 @@ def _pallas_forward(xp: jnp.ndarray, wim: jnp.ndarray, cin: int, cout: int,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, gh, gw, 16 * cout), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tr + 2, gwp, 16 * cin), xp.dtype),
+            pltpu.VMEM((2, tr + 2, gwp, 16 * cin), xp.dtype),  # 2-slot halo tiles
             pltpu.VMEM((tr, gw, WIN * WIN * cin), xp.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, wim)
