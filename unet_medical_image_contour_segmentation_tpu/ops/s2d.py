@@ -164,20 +164,20 @@ def conv_s2d(
 
     x: (B, H/b, W/b, b*b*Cin); w: (k, k, Cin, Cout) original kernel.
 
-    Set UMICS_PALLAS=1 to dispatch b == 4 3x3 convs to the Pallas im2col
-    kernel (ops/pallas_conv.py).  It does 4x fewer MACs but measures at
-    parity with the XLA block-conv on v5e (2.50 vs 2.24 ms for the cin=16
-    level-0 conv, equal at cin=32): the VPU lane-shuffle cost of patch
-    assembly offsets the MAC saving, while XLA keeps everything on the MXU.
-    Kept as opt-in infrastructure for future DMA-assembled variants.
+    b == 4 3x3 convs with 8 <= Cin <= 32 dispatch to the Pallas im2col
+    kernel (ops/pallas_conv.py): 4x fewer MACs with double-buffered halo
+    DMA, measured ~1.15x faster than the XLA block-conv on v5e (1.97 vs
+    2.29 ms for the cin=16 level-0 conv).  Larger Cin would exceed the VMEM
+    budget of the patch buffer and stays on the XLA path.  Set
+    UMICS_NO_PALLAS=1 to force XLA everywhere.
     """
     import os
 
     if (
         b == 4
         and w.shape[0] == 3
-        and w.shape[2] >= 8
-        and os.environ.get("UMICS_PALLAS") == "1"
+        and 8 <= w.shape[2] <= 32
+        and os.environ.get("UMICS_NO_PALLAS") != "1"
     ):
         from .pallas_conv import conv_s2d_b4_im2col, pallas_supported
 
