@@ -238,13 +238,13 @@ class TestPallasConv:
                                    rtol=1e-4, atol=2e-4)
 
     def test_dispatch_in_conv_s2d(self, monkeypatch):
-        """Default Pallas dispatch matches the forced-XLA path."""
+        """Opt-in Pallas dispatch matches the default XLA path."""
         rng = np.random.default_rng(32)
         x = jnp.asarray(rng.standard_normal((1, 16, 16, 256)).astype(np.float32))
         w = jnp.asarray(rng.standard_normal((3, 3, 16, 16)).astype(np.float32)) * 0.1
-        got = S.conv_s2d(x, w, 4)
-        monkeypatch.setenv("UMICS_NO_PALLAS", "1")
         want = S.conv_s2d(x, w, 4)
+        monkeypatch.setenv("UMICS_PALLAS", "1")
+        got = S.conv_s2d(x, w, 4)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
 

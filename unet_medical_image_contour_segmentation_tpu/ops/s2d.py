@@ -164,12 +164,13 @@ def conv_s2d(
 
     x: (B, H/b, W/b, b*b*Cin); w: (k, k, Cin, Cout) original kernel.
 
-    b == 4 3x3 convs with 8 <= Cin <= 32 dispatch to the Pallas im2col
-    kernel (ops/pallas_conv.py): 4x fewer MACs with double-buffered halo
-    DMA, measured ~1.15x faster than the XLA block-conv on v5e (1.97 vs
-    2.29 ms for the cin=16 level-0 conv).  Larger Cin would exceed the VMEM
-    budget of the patch buffer and stays on the XLA path.  Set
-    UMICS_NO_PALLAS=1 to force XLA everywhere.
+    Set UMICS_PALLAS=1 to dispatch b == 4 3x3 convs (8 <= Cin <= 32) to the
+    Pallas im2col kernel (ops/pallas_conv.py).  In isolation it beats the XLA
+    block-conv ~1.15x (4x fewer MACs, double-buffered halo DMA: 1.97 vs
+    2.29 ms for the cin=16 level-0 conv), but END-TO-END the model runs ~3%
+    SLOWER with it: the custom call is a fusion barrier, so XLA can no longer
+    fold the surrounding pad/BN/ReLU into the conv — the default stays XLA.
+    A winning kernel must fuse the whole Conv+BN+ReLU level.
     """
     import os
 
@@ -177,7 +178,7 @@ def conv_s2d(
         b == 4
         and w.shape[0] == 3
         and 8 <= w.shape[2] <= 32
-        and os.environ.get("UMICS_NO_PALLAS") != "1"
+        and os.environ.get("UMICS_PALLAS") == "1"
     ):
         from .pallas_conv import conv_s2d_b4_im2col, pallas_supported
 
