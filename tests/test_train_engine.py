@@ -249,3 +249,24 @@ def test_parallel_fused_s2d_matches_single_device():
 
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
     assert float(m1["grad_norm"]) == pytest.approx(float(m2["grad_norm"]), rel=1e-3)
+
+
+def test_async_checkpoint_and_latest(tmp_path):
+    from unet_medical_image_contour_segmentation_tpu.engine.checkpoint import (
+        latest_checkpoint, load_checkpoint, save_checkpoint_async,
+    )
+
+    model = unet_t(1, 3)
+    state = init_train_state(model, jax.random.PRNGKey(4))
+    f1 = save_checkpoint_async(str(tmp_path / "checkpoint_epoch1.npz"),
+                               state.params, state.bn_state, state.opt_state, step=1)
+    f1.result(timeout=60)
+    f2 = save_checkpoint_async(str(tmp_path / "checkpoint_epoch2.npz"),
+                               state.params, state.bn_state, None, step=2)
+    f2.result(timeout=60)
+    assert latest_checkpoint(str(tmp_path)).endswith("checkpoint_epoch2.npz")
+    ck = load_checkpoint(str(tmp_path / "checkpoint_epoch2.npz"))
+    assert ck["step"] == 2 and ck["opt_state"] is None
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(ck["params"])):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    assert latest_checkpoint(str(tmp_path / "empty")) is None

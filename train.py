@@ -67,6 +67,14 @@ def main():
     )
 
     state = None
+    if cfg.load == "latest":
+        from unet_medical_image_contour_segmentation_tpu.engine.checkpoint import (
+            latest_checkpoint,
+        )
+
+        cfg.load = latest_checkpoint(cfg.dir_checkpoint)
+        if cfg.load is None:
+            logging.info("No checkpoint found in %s; starting fresh", cfg.dir_checkpoint)
     if cfg.load:
         from unet_medical_image_contour_segmentation_tpu.engine.checkpoint import (
             load_checkpoint,

@@ -17,7 +17,13 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint", "load_weights"]
+__all__ = [
+    "save_checkpoint",
+    "save_checkpoint_async",
+    "load_checkpoint",
+    "load_weights",
+    "latest_checkpoint",
+]
 
 _SEP = "//"
 
@@ -110,3 +116,32 @@ def load_weights(path: str, *, bilinear: bool = False, use_attention: bool = Fal
         return load_pth(path, bilinear=bilinear, use_attention=use_attention)
     ck = load_checkpoint(path)
     return ck["params"], ck["bn_state"], ck.get("mask_values")
+
+
+def save_checkpoint_async(path, params, bn_state, opt_state=None, step=0,
+                          mask_values=None, extra=None):
+    """Non-blocking checkpoint save: device->host fetch happens on the caller
+    thread (cheap, async dispatch), serialization and disk IO on a worker so
+    the training loop never stalls on the filesystem.  Returns the Future."""
+    import concurrent.futures
+
+    host = jax.tree.map(np.asarray, (params, bn_state, opt_state))
+    executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    fut = executor.submit(
+        save_checkpoint, path, host[0], host[1], host[2],
+        step=step, mask_values=mask_values, extra=extra,
+    )
+    executor.shutdown(wait=False)
+    return fut
+
+
+def latest_checkpoint(directory) -> Optional[str]:
+    """Newest checkpoint_epoch*.npz / model_epoch*.npz in ``directory``."""
+    import glob
+
+    candidates = sorted(
+        glob.glob(os.path.join(str(directory), "checkpoint_epoch*.npz"))
+        + glob.glob(os.path.join(str(directory), "model_epoch*.npz")),
+        key=os.path.getmtime,
+    )
+    return candidates[-1] if candidates else None

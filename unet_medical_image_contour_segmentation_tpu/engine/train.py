@@ -271,9 +271,12 @@ def train_model(
 
         if cfg.save_checkpoint and epoch > cfg.epochs * cfg.checkpoint_after_frac:
             if epoch % cfg.checkpoint_every == 0:
+                from .checkpoint import save_checkpoint_async
+
                 Path(cfg.dir_checkpoint).mkdir(parents=True, exist_ok=True)
                 path = str(Path(cfg.dir_checkpoint) / f"checkpoint_epoch{epoch}.npz")
-                save_checkpoint(
+                # mid-training saves never stall the loop on disk IO
+                save_checkpoint_async(
                     path, state.params, state.bn_state, state.opt_state,
                     step=int(state.step), mask_values=mask_values,
                 )
