@@ -318,3 +318,23 @@ class TestBNFolding:
         p1 = Predictor(model, params, state, fold_bn=False).predict_array(x)
         p2 = Predictor(model, params, state, fold_bn=True).predict_array(x)
         np.testing.assert_array_equal(p1, p2)
+
+
+class TestS2dFuzz:
+    """Randomized shape sweep: s2d conv must equal NHWC conv everywhere."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_shapes(self, seed):
+        rng = np.random.default_rng(100 + seed)
+        b = int(rng.choice([2, 4]))
+        k = int(rng.choice([3, 7]))
+        cin = int(rng.choice([1, 3, 8, 16, 24]))
+        cout = int(rng.choice([1, 4, 16]))
+        gh, gw = rng.integers(2, 7, 2)
+        h, w = int(gh * b), int(gw * b)
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+        wgt = jnp.asarray(rng.standard_normal((k, k, cin, cout)).astype(np.float32)) * 0.1
+        want = conv2d(x, wgt, padding=k // 2)
+        got = S.d2s(S.conv_s2d(S.s2d(x, b), wgt, b), b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
