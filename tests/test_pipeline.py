@@ -169,9 +169,12 @@ class TestEndToEnd:
         class BlobPredictor(Predictor):
             # random weights won't produce contours; threshold the input
             # instead so the pipeline plumbing is fully exercised.
-            def predict_array(self, images, out_hw=None):
-                g = images[..., 0]
+            def _predict_device(self, images):
+                g = images[..., 0] if images.ndim == 4 else images
                 return (g > 0.7).astype(np.int32) * 2
+
+            def predict_array(self, images, out_hw=None):
+                return np.asarray(self._predict_device(images))
 
         cfg = PipelineConfig(
             input_raw=str(raw_dir),

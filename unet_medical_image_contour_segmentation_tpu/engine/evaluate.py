@@ -168,10 +168,13 @@ def evaluate(
             image = jnp.asarray(image)
             pred = eval_step(params, bn_state, image)
             batch_index += 1
-            # device->host copy of the class indices only, then hand off
+            # hand the DEVICE array to the worker: the device->host copy
+            # happens there, so the main loop dispatches the next forward
+            # without waiting for this batch's results
             pending.append(
                 pool.submit(
-                    host_work, batch_index, np.asarray(pred), np.asarray(batch["mask"])
+                    lambda bi, p, m: host_work(bi, np.asarray(p), m),
+                    batch_index, pred, np.asarray(batch["mask"]),
                 )
             )
         results = [f.result() for f in pending]

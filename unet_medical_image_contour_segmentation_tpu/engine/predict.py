@@ -159,18 +159,38 @@ class Predictor:
                     out_path = os.path.join(output_dir, base + overwrite_suffix)
                 mask_to_image(pred).save(out_path)
 
+        def post_chunk(chunk, preds_device):
+            preds = np.asarray(preds_device)  # device->host off the main loop
+            for (path, _), pred in zip(chunk, preds):
+                host_post(path, pred)
+
         with ThreadPoolExecutor(max_workers=4) as pool:
             futures = []
             for size, items in by_size.items():
                 for i in range(0, len(items), self.batch_size):
                     chunk = items[i : i + self.batch_size]
                     batch = np.stack([a for _, a in chunk])
-                    preds = self.predict_array(batch)
-                    for (path, _), pred in zip(chunk, preds):
-                        futures.append(pool.submit(host_post, path, pred))
+                    preds_device = self._predict_device(batch)
+                    # async dispatch: post-processing (and the device->host
+                    # copy) overlaps the next batch's forward
+                    futures.append(pool.submit(post_chunk, chunk, preds_device))
             for f in futures:
                 f.result()
         return results
+
+    def _predict_device(self, images: np.ndarray):
+        """Dispatch one batch; returns a (possibly device) prediction array.
+
+        Subclass override point for custom inference backends.
+        """
+        in_hw = tuple(images.shape[1:3])
+        run = self._step(in_hw, in_hw)
+        if images.ndim == 4 and images.shape[-1] == 1:
+            images = images[..., 0]  # rank-3 transfer avoids HBM lane padding
+        return self._run_step(run, jnp.asarray(images))
+
+    def _run_step(self, run, images):
+        return run(self.params, self.bn_state, images)
 
 
 class StableHLOPredictor(Predictor):
@@ -210,3 +230,6 @@ class StableHLOPredictor(Predictor):
         out_hw = tuple(out_hw or in_hw)
         run = self._step(tuple(in_hw), out_hw)
         return np.asarray(run(jnp.asarray(images)))
+
+    def _run_step(self, run, images):
+        return run(images)
