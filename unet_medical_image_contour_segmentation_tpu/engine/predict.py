@@ -133,16 +133,21 @@ class Predictor:
     ) -> Dict[str, np.ndarray]:
         """Batch-predict files, grouped by image size; returns {path: mask}."""
         in_files = list(in_files)
-        # load + group by size
-        by_size: Dict[Tuple[int, int], List[Tuple[str, np.ndarray]]] = {}
-        for path in in_files:
+
+        def load(path):
             try:
                 img = Image.open(path).convert("L")
+                return path, BasicDataset.preprocess(None, img, scale=1, is_mask=False)
             except Exception:
                 log.exception("Failed to open %s", path)
-                continue
-            arr = BasicDataset.preprocess(None, img, scale=1, is_mask=False)
-            by_size.setdefault(arr.shape[:2], []).append((path, arr))
+                return path, None
+
+        # parallel decode (PIL releases the GIL), grouped by size
+        by_size: Dict[Tuple[int, int], List[Tuple[str, np.ndarray]]] = {}
+        with ThreadPoolExecutor(max_workers=8) as loader:
+            for path, arr in loader.map(load, in_files):
+                if arr is not None:
+                    by_size.setdefault(arr.shape[:2], []).append((path, arr))
 
         results: Dict[str, np.ndarray] = {}
 
@@ -164,7 +169,7 @@ class Predictor:
             for (path, _), pred in zip(chunk, preds):
                 host_post(path, pred)
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=8) as pool:
             futures = []
             for size, items in by_size.items():
                 for i in range(0, len(items), self.batch_size):
