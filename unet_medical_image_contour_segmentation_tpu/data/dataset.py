@@ -46,7 +46,7 @@ def unique_mask_values(idx: str, mask_dir: Path, mask_suffix: str):
         return np.unique(mask)
     if mask.ndim == 3:
         return np.unique(mask.reshape(-1, mask.shape[-1]), axis=0)
-    raise ValueError(f"Loaded masks should have 2 or 3 dimensions, found {mask.ndim}")
+    raise ValueError(f"mask arrays must be rank 2 or 3, got rank {mask.ndim}")
 
 
 class BasicDataset:
@@ -64,7 +64,7 @@ class BasicDataset:
         self.images_dir = Path(images_dir)
         self.mask_dir = Path(mask_dir)
         if not 0 < scale <= 1:
-            raise ValueError("Scale must be between 0 and 1")
+            raise ValueError(f"scale must lie in (0, 1], got {scale}")
         self.scale = scale
         self.mask_suffix = mask_suffix
         self.augment = augment
@@ -76,9 +76,9 @@ class BasicDataset:
         ]
         if not self.ids:
             raise RuntimeError(
-                f"No input file found in {images_dir}, make sure you put your images there"
+                f"image directory {images_dir} contains no usable files"
             )
-        log.info("Creating dataset with %d examples", len(self.ids))
+        log.info("dataset ready: %d ids under %s", len(self.ids), images_dir)
 
         if scan_mask_values:
             # The reference uses a fork Pool (data_loading.py:53-57); PIL +
@@ -109,7 +109,9 @@ class BasicDataset:
         w, h = pil_img.size
         new_w, new_h = int(scale * w), int(scale * h)
         if new_w <= 0 or new_h <= 0:
-            raise ValueError("Scale is too small, resized images would have no pixel")
+            raise ValueError(
+                f"scale {scale} collapses a {w}x{h} image to zero pixels"
+            )
         pil_img = pil_img.resize(
             (new_w, new_h), resample=Image.NEAREST if is_mask else Image.BICUBIC
         )
@@ -144,15 +146,19 @@ class BasicDataset:
         mask_file = list(self.mask_dir.glob(name + self.mask_suffix + ".*"))
         img_file = list(self.images_dir.glob(name + ".*"))
         if len(img_file) != 1:
-            raise AssertionError(f"Either no image or multiple images found for the ID {name}: {img_file}")
+            raise AssertionError(
+                f"expected exactly one image for id {name!r}, got {img_file}"
+            )
         if len(mask_file) != 1:
-            raise AssertionError(f"Either no mask or multiple masks found for the ID {name}: {mask_file}")
+            raise AssertionError(
+                f"expected exactly one mask for id {name!r}, got {mask_file}"
+            )
 
         mask = load_image(mask_file[0])
         img = load_image(img_file[0])
         if img.size != mask.size:
             raise AssertionError(
-                f"Image and mask {name} should be the same size, but are {img.size} and {mask.size}"
+                f"size mismatch for {name!r}: image {img.size} vs mask {mask.size}"
             )
 
         if self.augment and rotation_idx > 0:
@@ -163,7 +169,7 @@ class BasicDataset:
         mask_a = self.preprocess(self.mask_values, mask, self.scale, is_mask=True)
 
         if not np.all((mask_a >= 0) & (mask_a <= 2)):
-            raise AssertionError("mask contains an invalid class index")
+            raise AssertionError("mask holds values outside the class range {0,1,2}")
 
         return {"image": img_a, "mask": mask_a.astype(np.int32)}
 
