@@ -165,6 +165,30 @@ def main():
     train_sps, pred_sps = bench_ours(hw, args.batch, args.steps, args.model)
     ours = combined(train_sps, pred_sps)
 
+    # Logical-FLOP honesty: slices/s alone hides the MAC inflation of the s2d
+    # layout.  Report logical TF/s and MFU vs the 197 TF/s v5e bf16 peak.
+    flops_fields = {}
+    try:
+        from unet_medical_image_contour_segmentation_tpu.models.unet import UNet
+        from unet_medical_image_contour_segmentation_tpu.utils.flops import (
+            V5E_BF16_PEAK_FLOPS, unet_forward_flops,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.unet import get_model as _gm
+        _model = _gm(args.model, n_channels=1, n_classes=3, bilinear=False)
+        if isinstance(_model, UNet):
+            fwd = unet_forward_flops(_model, *hw)
+            train_tfs = 3 * fwd * train_sps / 1e12   # fwd + dgrad + wgrad
+            pred_tfs = fwd * pred_sps / 1e12
+            flops_fields = {
+                "fwd_gflops_per_slice": round(fwd / 1e9, 2),
+                "train_logical_tflops": round(train_tfs, 2),
+                "predict_logical_tflops": round(pred_tfs, 2),
+                "train_mfu_pct": round(100 * train_tfs * 1e12 / V5E_BF16_PEAK_FLOPS, 2),
+                "predict_mfu_pct": round(100 * pred_tfs * 1e12 / V5E_BF16_PEAK_FLOPS, 2),
+            }
+    except Exception:
+        pass
+
     key = f"{args.hw}x{args.hw}_b{args.batch}"
     cache = {}
     if BASELINE_CACHE.exists():
@@ -189,6 +213,7 @@ def main():
         "predict_slices_per_s": round(pred_sps, 2),
         "baseline_combined_slices_per_s": round(baseline, 2) if baseline else None,
         "batch": args.batch,
+        **flops_fields,
     }
     print(json.dumps(result))
 

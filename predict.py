@@ -22,6 +22,8 @@ def get_args():
     parser.add_argument("--viz", "-v", action="store_true", default=False, help="Visualize results")
     parser.add_argument("--no-save", "-n", action="store_true", default=False)
     parser.add_argument("--postprocess", "-p", action="store_true", default=True)
+    parser.add_argument("--no-postprocess", dest="postprocess", action="store_false",
+                        help="Skip cv2 mask cleanup (the reference's -p cannot be disabled; ours can)")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--arch", default="unet", choices=["unet", "unet_t", "unet_s", "unet_sa"],
                         help="Architecture for weight files (reference predict.py hardcodes unet)")

@@ -23,6 +23,14 @@ def get_args():
     parser.add_argument("--validation", "-v", dest="val", type=float, default=10.0,
                         help="Percent of the data used as validation (0-100)")
     parser.add_argument("--amp", action="store_true", default=True, help="Use bf16 mixed precision")
+    parser.add_argument("--no-amp", dest="amp", action="store_false",
+                        help="Full f32 compute (the reference's --amp cannot be disabled; ours can)")
+    parser.add_argument("--no-save-val-predictions", dest="save_val_predictions",
+                        action="store_false", default=True,
+                        help="Skip the per-epoch prediction PNG dumps")
+    parser.add_argument("--no-val-postprocess", dest="val_postprocess",
+                        action="store_false", default=True,
+                        help="Skip the cv2 post-processed Dice during validation")
     parser.add_argument("--bilinear", action="store_true", default=False, help="Use bilinear upsampling")
     parser.add_argument("--classes", "-c", type=int, default=3, help="Number of classes")
     parser.add_argument("--model", "-m", default="unet_s",
@@ -64,6 +72,8 @@ def main():
         scheduler_quirk=args.scheduler_quirk,
         num_devices=args.num_devices,
         load=args.load or None,
+        save_val_predictions=args.save_val_predictions,
+        val_postprocess=args.val_postprocess,
     )
 
     state = None

@@ -60,6 +60,7 @@ class TrainConfig:
     # misc
     seed: int = 0
     log_every: int = 10
+    progress: bool = True                  # tqdm running-loss bar (auto-off on non-TTY)
     metrics_path: Optional[str] = None  # JSONL per-step/epoch metric log
 
 

@@ -158,10 +158,15 @@ def evaluate(
                     )
         return d_orig, d_post, current
 
+    from tqdm import tqdm
+
+    n_batches = len(dataloader) if hasattr(dataloader, "__len__") else None
     with ThreadPoolExecutor(max_workers=2) as pool:
         pending = []
         batch_index = 0
-        for batch in dataloader:
+        # validation progress (reference evaluate.py:45); auto-off on non-TTY
+        for batch in tqdm(dataloader, total=n_batches, desc="Validation round",
+                          unit="batch", leave=False, disable=None):
             image = batch["image"]
             if image.ndim == 4 and image.shape[-1] == 1:
                 image = image[..., 0]  # rank-3 transfer: dense HBM layout

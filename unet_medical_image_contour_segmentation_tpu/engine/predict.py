@@ -13,7 +13,6 @@ host thread pool while the device works on the next batch.
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
@@ -66,6 +65,9 @@ class Predictor:
         self.params = params
         self.bn_state = bn_state
         self.batch_size = batch_size
+        # per-instance jit cache keyed by (in_hw, out_hw) — an lru_cache on the
+        # bound method would pin the instance (and its params) process-wide
+        self._step_cache: Dict[Tuple, object] = {}
         self.folded_params = None
         if fold_bn:
             try:
@@ -75,8 +77,13 @@ class Predictor:
             except (KeyError, TypeError):
                 pass  # non-UNet-topology params: fall back to live BN
 
-    @functools.lru_cache(maxsize=32)
     def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+        key = (in_hw, out_hw)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_step(in_hw, out_hw)
+        return self._step_cache[key]
+
+    def _build_step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
         model = self.model
         n_classes = getattr(model, "n_classes", 0)
         folded = self.folded_params
@@ -210,14 +217,14 @@ class StableHLOPredictor(Predictor):
     def __init__(self, exported_bytes: bytes, batch_size: int = 8):
         self.exported = jax.export.deserialize(bytearray(exported_bytes))
         self.batch_size = batch_size
+        self._step_cache: Dict[Tuple, object] = {}
 
     @classmethod
     def from_file(cls, path: str, batch_size: int = 8) -> "StableHLOPredictor":
         with open(path, "rb") as f:
             return cls(f.read(), batch_size=batch_size)
 
-    @functools.lru_cache(maxsize=32)
-    def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+    def _build_step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
         exported = self.exported
 
         @jax.jit

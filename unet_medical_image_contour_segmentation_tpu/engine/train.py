@@ -215,6 +215,8 @@ def train_model(
                  **{k: v for k, v in metrics.items()})
         return loss_val
 
+    from tqdm import tqdm
+
     for epoch in range(1, cfg.epochs + 1):
         epoch_loss = 0.0
         epoch_pred_dir = None
@@ -224,6 +226,10 @@ def train_model(
 
         t0 = time.perf_counter()
         n_seen = 0
+        # running-loss progress bar, as the reference shows (train.py:104,171);
+        # disable=None auto-hides it on non-TTY stderr so logs stay clean
+        pbar = tqdm(total=n_train, desc=f"Epoch {epoch}/{cfg.epochs}", unit="img",
+                    disable=None if cfg.progress else True)
         for batch in prefetch_to_device(iter(train_loader), sharding=batch_sharding_):
             n_ch = 1 if batch["image"].ndim == 3 else batch["image"].shape[-1]
             if n_ch != model.n_channels:
@@ -234,14 +240,19 @@ def train_model(
             state, metrics = step_fn(state, batch, lr)
             global_step += 1
             n_seen += batch["image"].shape[0]
+            pbar.update(batch["image"].shape[0])
             if pending is not None:
-                epoch_loss += check_nan(pending)
+                # one step of delay: this fetch never stalls the in-flight step
+                last_loss = check_nan(pending)
+                epoch_loss += last_loss
+                pbar.set_postfix(**{"loss (batch)": f"{last_loss:.4f}"})
             pending = (global_step, metrics)
             if cfg.log_every and global_step % cfg.log_every == 0:
                 log.info("epoch %d step %d loss(total)=%.5f", epoch, global_step, epoch_loss)
         if pending is not None:
             epoch_loss += check_nan(pending)
             pending = None
+        pbar.close()
         dt = time.perf_counter() - t0
         log.info(
             "epoch %d done: loss(total)=%.5f %.2f slices/s",
