@@ -43,6 +43,14 @@ def get_args():
                         help="Rematerialize blocks (activation checkpointing)")
     parser.add_argument("--no-scheduler-quirk", dest="scheduler_quirk", action="store_false",
                         default=True, help="Step the LR schedule by epoch instead of by Dice")
+    # multi-host bootstrap (jax.distributed); on Cloud TPU pods pass
+    # --distributed alone and the coordinator is auto-discovered
+    parser.add_argument("--distributed", action="store_true", default=False,
+                        help="Initialize jax.distributed (multi-host training)")
+    parser.add_argument("--coordinator-address", default=None,
+                        help="host:port of process 0 (non-TPU-pod fabrics)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     return parser.parse_args()
 
 
@@ -50,13 +58,26 @@ def main():
     args = get_args()
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
 
+    if args.distributed or args.coordinator_address:
+        # must run before the first jax.devices() call on every host
+        from unet_medical_image_contour_segmentation_tpu.parallel import distributed
+
+        distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
     import jax
 
     from unet_medical_image_contour_segmentation_tpu.config import TrainConfig
     from unet_medical_image_contour_segmentation_tpu.engine.checkpoint import load_weights
     from unet_medical_image_contour_segmentation_tpu.engine.train import train_model
 
-    logging.info("Using devices: %s", jax.devices())
+    logging.info(
+        "Using %d devices across %d process(es): %s",
+        jax.device_count(), jax.process_count(), jax.local_devices(),
+    )
 
     cfg = TrainConfig(
         model=args.model,

@@ -31,12 +31,18 @@ class DataLoader:
         drop_last: bool = False,
         num_workers: int = 8,
         seed: int = 0,
+        process_slice=None,
     ):
+        """``process_slice``: on a multi-host mesh, this host's row range of
+        every (globally-ordered) batch — the host decodes only its own rows
+        (SURVEY.md §2.7 per-host data loading).  The shuffle order is seeded,
+        so all hosts agree on the global batch composition without talking."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
+        self.process_slice = process_slice
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -53,6 +59,8 @@ class DataLoader:
         with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
             for b in range(n_batches):
                 idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                if self.process_slice is not None:
+                    idxs = idxs[self.process_slice]
                 samples = list(ex.map(self.dataset.__getitem__, idxs))
                 yield {
                     k: np.stack([s[k] for s in samples], axis=0)
@@ -82,7 +90,13 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
                 # dense.  The models re-expand the channel dim inside jit.
                 if "image" in batch and batch["image"].ndim == 4 and batch["image"].shape[-1] == 1:
                     batch = dict(batch, image=batch["image"][..., 0])
-                if sharding is not None:
+                if sharding is not None and not sharding.is_fully_addressable:
+                    # multi-host: this process holds only its local rows;
+                    # assemble the global batch-sharded Array in place
+                    from ..parallel.distributed import assemble_global_batch
+
+                    batch = assemble_global_batch(batch, sharding)
+                elif sharding is not None:
                     batch = jax.device_put(batch, sharding)
                 else:
                     batch = jax.device_put(batch)

@@ -141,13 +141,31 @@ def train_model(
             getattr(val_set, "mask_values", [])
         )
 
-    n_dev = cfg.num_devices or 1
+    from ..parallel import distributed
+
+    multi_host = distributed.is_multi_host()
+    if multi_host:
+        # mesh over ALL processes' devices; cfg.batch_size is the GLOBAL batch
+        n_dev = cfg.num_devices or jax.device_count()
+        if cfg.batch_size % jax.process_count():
+            raise ValueError(
+                f"global batch_size {cfg.batch_size} must be divisible by "
+                f"process_count {jax.process_count()}"
+            )
+        process_slice = distributed.local_batch_slice(cfg.batch_size)
+    else:
+        n_dev = cfg.num_devices or 1
+        process_slice = None
     train_loader = DataLoader(
         train_set, cfg.batch_size, shuffle=True, num_workers=cfg.num_workers,
         seed=cfg.seed,
         # shard_map needs every batch full when data-parallel
         drop_last=(n_dev > 1),
+        process_slice=process_slice,
     )
+    # validation stays host-local: every host evaluates the full val set with
+    # its local parameter replica, so all hosts agree on the scheduler input
+    # without an extra collective
     val_loader = DataLoader(
         val_set, cfg.batch_size, shuffle=False, drop_last=True, num_workers=cfg.num_workers
     )
@@ -220,7 +238,8 @@ def train_model(
     for epoch in range(1, cfg.epochs + 1):
         epoch_loss = 0.0
         epoch_pred_dir = None
-        if cfg.save_val_predictions:
+        # on a pod only process 0 dumps PNGs (hosts would clobber each other)
+        if cfg.save_val_predictions and jax.process_index() == 0:
             epoch_pred_dir = Path(cfg.predictions_dir) / f"epoch_{epoch}"
             epoch_pred_dir.mkdir(parents=True, exist_ok=True)
 
@@ -259,9 +278,15 @@ def train_model(
             epoch, epoch_loss, n_seen / max(dt, 1e-9),
         )
 
-        # validation once per epoch (the reference's division_step cadence)
+        # validation once per epoch (the reference's division_step cadence);
+        # on a pod each host evaluates its local replica of the parameters
+        if multi_host:
+            val_params = distributed.local_replica(state.params)
+            val_bn = distributed.local_replica(state.bn_state)
+        else:
+            val_params, val_bn = state.params, state.bn_state
         val_score, val_post, min_val = evaluate(
-            model, state.params, state.bn_state, val_loader,
+            model, val_params, val_bn, val_loader,
             epoch_pred_dir=str(epoch_pred_dir) if epoch_pred_dir else None,
             postprocess=cfg.val_postprocess,
             eval_step=eval_step,
@@ -280,7 +305,11 @@ def train_model(
             T_0=cfg.sched_t0, T_mult=cfg.sched_t_mult, eta_min=cfg.sched_eta_min,
         ))
 
-        if cfg.save_checkpoint and epoch > cfg.epochs * cfg.checkpoint_after_frac:
+        if (
+            cfg.save_checkpoint
+            and epoch > cfg.epochs * cfg.checkpoint_after_frac
+            and jax.process_index() == 0
+        ):
             if epoch % cfg.checkpoint_every == 0:
                 from .checkpoint import save_checkpoint_async
 
@@ -288,14 +317,19 @@ def train_model(
                 path = str(Path(cfg.dir_checkpoint) / f"checkpoint_epoch{epoch}.npz")
                 # mid-training saves never stall the loop on disk IO
                 save_checkpoint_async(
-                    path, state.params, state.bn_state, state.opt_state,
+                    path, distributed.local_replica(state.params),
+                    distributed.local_replica(state.bn_state),
+                    distributed.local_replica(state.opt_state),
                     step=int(state.step), mask_values=mask_values,
                 )
                 log.info("Checkpoint %d saved!", epoch)
 
-    save_checkpoint(
-        f"model_epoch{cfg.epochs}.npz", state.params, state.bn_state, state.opt_state,
-        step=int(state.step), mask_values=mask_values,
-    )
+    if jax.process_index() == 0:
+        save_checkpoint(
+            f"model_epoch{cfg.epochs}.npz", distributed.local_replica(state.params),
+            distributed.local_replica(state.bn_state),
+            distributed.local_replica(state.opt_state),
+            step=int(state.step), mask_values=mask_values,
+        )
     mlog.close()
     return state

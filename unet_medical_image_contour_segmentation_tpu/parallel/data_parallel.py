@@ -53,7 +53,17 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def replicate(tree, mesh: Mesh):
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    s = NamedSharding(mesh, P())
+    if len(mesh.devices.flat) and s.is_fully_addressable:
+        return jax.device_put(tree, s)
+
+    # multi-host mesh: every process owns only some of the replicas; build
+    # each global array from the (identical) host-local value
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
 
 
 def make_parallel_train_step(

@@ -32,7 +32,11 @@ def initialize(
     pass them explicitly for other fabrics.  Safe to call when already
     initialized (no-op) or single-process (no-op unless args given).
     """
-    if jax.process_count() > 1:
+    # NOTE: do not touch jax.devices()/process_count() before initializing —
+    # the first backend query pins the single-process runtime.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     try:
         if coordinator_address is None and num_processes is None:
@@ -57,7 +61,41 @@ def is_multi_host() -> bool:
 
 
 def local_batch_slice(global_batch: int) -> slice:
-    """This host's contiguous sample range of a globally-ordered batch."""
+    """This host's contiguous sample range of a globally-ordered batch.
+
+    Valid for 1-D data meshes built from ``jax.devices()`` (process-major
+    device order), where process p owns rows [p*per_host, (p+1)*per_host).
+    """
     per_host = global_batch // jax.process_count()
     start = jax.process_index() * per_host
     return slice(start, start + per_host)
+
+
+def local_replica(tree):
+    """Host-local copies of a fully-replicated global pytree.
+
+    A replicated array on a multi-process mesh is not ``np.asarray``-able
+    (its shards span non-addressable devices); this pulls each leaf's local
+    replica so host-side code (evaluate, checkpoint save) can use it.
+    Single-process arrays pass through as-is.
+    """
+    import jax.numpy as jnp
+
+    def pull(x):
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            return jnp.asarray(x.addressable_data(0))
+        return x
+
+    return jax.tree.map(pull, tree)
+
+
+def assemble_global_batch(batch, sharding):
+    """Per-host local rows -> one global batch-sharded jax.Array per leaf.
+
+    Each process feeds only its ``local_batch_slice`` of the globally-ordered
+    batch; XLA never moves the rows — every device keeps what its host fed.
+    """
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in batch.items()
+    }
