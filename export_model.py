@@ -47,7 +47,7 @@ def main():
     data = export_stablehlo(
         model, params, bn_state,
         dynamic_batch=not args.static,
-        dynamic_hw=(not args.static) and (not args.bilinear),
+        dynamic_hw=not args.static,
     )
     out = args.output or os.path.splitext(args.model)[0] + ".stablehlo"
     with open(out, "wb") as f:

@@ -39,16 +39,18 @@ def test_dynamic_batch_and_hw_export():
                                    rtol=1e-3, atol=1e-4)
 
 
-def test_bilinear_exports_static_hw():
+def test_bilinear_exports_dynamic_hw():
     model = unet_t(1, 3, bilinear=True)
     params, bn_state = model.init(jax.random.PRNGKey(2))
-    data = export_stablehlo(model, params, bn_state, example_hw=(64, 64),
-                            platforms=("cpu",))  # dynamic batch, static hw
+    data = export_stablehlo(model, params, bn_state, platforms=("cpu",))
     exported = load_exported(data)
-    x = np.random.default_rng(3).random((2, 64, 64, 1), np.float32)
-    got = exported.call(jnp.asarray(x))
-    want, _ = model.apply(params, bn_state, jnp.asarray(x), train=False)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)
+    for shape in [(2, 64, 64, 1), (1, 96, 128, 1)]:
+        x = np.random.default_rng(3).random(shape, np.float32)
+        got = exported.call(jnp.asarray(x))
+        want, _ = model.apply(params, bn_state, jnp.asarray(x), train=False)
+        assert got.shape == (*shape[:3], 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=1e-4)
 
 
 def test_stablehlo_predictor_matches_live():

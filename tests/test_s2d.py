@@ -82,9 +82,10 @@ class TestS2dOps:
 class TestS2dModel:
     @pytest.mark.parametrize("builder", [unet_s, unet_sa])
     @pytest.mark.parametrize("train", [True, False])
-    def test_model_s2d_matches_nhwc(self, builder, train):
-        model_nhwc = builder(1, 3, bilinear=False, layout="nhwc")
-        model_s2d = builder(1, 3, bilinear=False, layout="s2d")
+    @pytest.mark.parametrize("bilinear", [False, True])
+    def test_model_s2d_matches_nhwc(self, builder, train, bilinear):
+        model_nhwc = builder(1, 3, bilinear=bilinear, layout="nhwc")
+        model_s2d = builder(1, 3, bilinear=bilinear, layout="s2d")
         params, state = model_nhwc.init(jax.random.PRNGKey(0))
         x = jnp.asarray(_rand(2, 64, 64, 1, seed=17))
 
@@ -119,12 +120,25 @@ class TestS2dModel:
         logits, _ = model.apply(params, state, x, train=False)
         assert logits.shape == (1, 67, 75, 3)
 
-    def test_s2d_layout_raises_on_bilinear(self):
+    def test_s2d_layout_raises_on_incompatible_shape(self):
         model = unet_s(1, 3, bilinear=True, layout="s2d")
         params, state = model.init(jax.random.PRNGKey(3))
-        x = jnp.zeros((1, 64, 64, 1))
+        x = jnp.zeros((1, 67, 75, 1))  # not divisible by 16 * block
         with pytest.raises(ValueError):
             model.apply(params, state, x)
+
+    def test_upsample2_ac_s2d_matches_nhwc(self):
+        from unet_medical_image_contour_segmentation_tpu.ops.resize import (
+            upsample_x2_align_corners,
+        )
+
+        for h, w, c, b in [(32, 32, 16, 4), (16, 24, 8, 2), (8, 8, 128, 1)]:
+            x = jnp.asarray(_rand(2, h, w, c, seed=40 + b))
+            want = upsample_x2_align_corners(x)
+            got = S.d2s(S.upsample2_ac_s2d(S.s2d(x, b), b), 2 * b)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+            )
 
 
 class TestS2dFusedLoss:

@@ -190,6 +190,11 @@ class Predictor:
                 f.result()
         return results
 
+    # single-channel batches transfer rank-3 (a (B,H,W,1) program input is
+    # lane-padded 128x in HBM); exported StableHLO modules have a fixed
+    # rank-4 signature, so StableHLOPredictor turns this off
+    _rank3_transfer = True
+
     def _predict_device(self, images: np.ndarray):
         """Dispatch one batch; returns a (possibly device) prediction array.
 
@@ -197,8 +202,8 @@ class Predictor:
         """
         in_hw = tuple(images.shape[1:3])
         run = self._step(in_hw, in_hw)
-        if images.ndim == 4 and images.shape[-1] == 1:
-            images = images[..., 0]  # rank-3 transfer avoids HBM lane padding
+        if self._rank3_transfer and images.ndim == 4 and images.shape[-1] == 1:
+            images = images[..., 0]
         return self._run_step(run, jnp.asarray(images))
 
     def _run_step(self, run, images):
@@ -213,6 +218,8 @@ class StableHLOPredictor(Predictor):
     parameters.  The exported module maps images -> logits; resizing to the
     original size and the argmax run in a jitted wrapper around the call.
     """
+
+    _rank3_transfer = False  # exported signature is rank-4 (B, H, W, C)
 
     def __init__(self, exported_bytes: bytes, batch_size: int = 8):
         self.exported = jax.export.deserialize(bytearray(exported_bytes))

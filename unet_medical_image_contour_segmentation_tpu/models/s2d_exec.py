@@ -4,8 +4,9 @@ Same parameters, same numerics as the NHWC path in ``models/blocks.py`` —
 only the on-device layout differs: every level runs at a block size chosen so
 activations keep >= 128 dense lanes (see ``ops/s2d.py`` for why this is worth
 ~4-10x on the small-channel levels).  Used when ``UNet.layout == "s2d"``;
-requires ConvTranspose upsampling (bilinear falls back to the NHWC path) and
-spatial dims divisible by 16 * block.
+both upsampling modes run in lane space (ConvTranspose k2s2 as a block
+matmul, bilinear align_corners=True as banded block matmuls); spatial dims
+must divide 16 * block.
 """
 
 from __future__ import annotations
@@ -36,8 +37,6 @@ def output_block(model, params=None) -> int:
 
 
 def supports_s2d(model, x_shape) -> bool:
-    if model.bilinear:
-        return False
     if len(x_shape) == 3:
         x_shape = (*x_shape, 1)
     h, w = x_shape[1], x_shape[2]
@@ -146,15 +145,19 @@ def apply_s2d(model, params, state, x, *, train: bool = False, axis_name=None,
         skip, skip_b, skip_c = feats[4 - i]
         p = params[f"up{i}"]
         in_c = y.shape[-1] // (y_b * y_b)
-        y = S.conv_transpose2_s2d(y, p["upconv"]["w"], y_b,
-                                  p["upconv"].get("b"), compute_dtype=cd)
+        if "upconv" in p:  # ConvTranspose2d(k2, s2): lane-space matmul
+            y = S.conv_transpose2_s2d(y, p["upconv"]["w"], y_b,
+                                      p["upconv"].get("b"), compute_dtype=cd)
+            up_c = in_c // 2
+        else:  # bilinear align_corners x2: banded lane-space matmuls
+            y = S.upsample2_ac_s2d(y, y_b)
+            up_c = in_c
         y_b = 2 * y_b
         if y_b != skip_b:
             y = S.repack(y, y_b, skip_b)
             y_b = skip_b
         if "att" in p:
             skip = _attention(p["att"], skip, skip_b, skip_c, cd=cd)
-        up_c = in_c // 2
         y = S.concat_s2d([skip, y.astype(skip.dtype)], y_b, [skip_c, up_c])
         up_state = state[f"up{i}"]["conv"] if state is not None else None
         y, ns = _double_conv(p["conv"], up_state, y, y_b, None,

@@ -87,6 +87,43 @@ def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int, *, align_corners: bo
 
 
 def upsample_x2_align_corners(x: jnp.ndarray) -> jnp.ndarray:
-    """x2 bilinear upsample with align_corners=True (decoder path)."""
+    """x2 bilinear upsample with align_corners=True (decoder path).
+
+    Concrete shapes use the constant-matrix MXU contraction; symbolic shapes
+    (jax.export shape polymorphism) fall back to a gather+lerp formulation
+    whose interpolation weights are computed on-device from the runtime dims,
+    so bilinear models export with dynamic H/W like the reference's ONNX
+    dynamic axes (export_model.py:30-46).
+    """
     n, h, w, c = x.shape
-    return bilinear_resize(x, 2 * h, 2 * w, align_corners=True)
+    if isinstance(h, int) and isinstance(w, int):
+        return bilinear_resize(x, 2 * h, 2 * w, align_corners=True)
+    return _upsample_x2_ac_dynamic(x)
+
+
+def _upsample_x2_ac_dynamic(x: jnp.ndarray) -> jnp.ndarray:
+    """Shape-polymorphic x2 align_corners=True upsample (gather + lerp)."""
+    from jax import lax
+
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+
+    def one_axis(y, axis):
+        size = y.shape[axis]
+        # src = i * (H-1) / (2H-1), evaluated with exact integer quotient /
+        # remainder so i0 and frac match the f64 constant-matrix path bitwise
+        i = lax.iota(jnp.int32, 2 * size)
+        num = i * jnp.asarray(size - 1, jnp.int32)
+        den = jnp.asarray(2 * size - 1, jnp.int32)
+        i0 = num // den
+        i1 = jnp.minimum(i0 + 1, size - 1)
+        frac = (num % den).astype(jnp.float32) / den.astype(jnp.float32)
+        shape = [1] * y.ndim
+        shape[axis] = 2 * size
+        frac = frac.reshape(shape)
+        return (
+            jnp.take(y, i0, axis=axis) * (1.0 - frac)
+            + jnp.take(y, i1, axis=axis) * frac
+        )
+
+    return one_axis(one_axis(xf, 1), 2).astype(dtype)

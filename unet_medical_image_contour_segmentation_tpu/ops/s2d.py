@@ -45,6 +45,7 @@ __all__ = [
     "conv1x1_s2d",
     "conv1x1_s2d_class_major",
     "conv_transpose2_s2d",
+    "upsample2_ac_s2d",
     "max_pool2_s2d",
     "batch_norm_s2d",
     "concat_s2d",
@@ -241,6 +242,81 @@ def conv_transpose2_s2d(
     if bias is not None:
         y = y + jnp.tile(bias, (2 * b) * (2 * b)).astype(y.dtype)
     return y
+
+
+@functools.lru_cache(maxsize=None)
+def _upsample2_band_np(size: int, b: int):
+    """Banded block form of the x2 align_corners=True interpolation matrix.
+
+    The (2*size, size) torch-semantics matrix (ops/resize.py) reshaped to
+    blocks: output grid row Ho only reads input grid rows {Ho-1, Ho, Ho+1}
+    (src index of output i lies in [i/2 - 1/2, i/2], so the band is 1 block
+    either side).  Returns three (size/b, 2b, b) numpy tensors
+    (A_prev, A_same, A_next); boundary blocks of A_prev/A_next are zero.
+    """
+    from .resize import _interp_matrix_np
+
+    m = _interp_matrix_np(size, 2 * size, True)  # (2*size, size)
+    nb = size // b
+    mr = m.reshape(nb, 2 * b, nb, b)
+    a_prev = np.zeros((nb, 2 * b, b), np.float32)
+    a_same = np.zeros((nb, 2 * b, b), np.float32)
+    a_next = np.zeros((nb, 2 * b, b), np.float32)
+    check = np.zeros_like(mr)
+    for ho in range(nb):
+        a_same[ho] = mr[ho, :, ho, :]
+        check[ho, :, ho, :] = mr[ho, :, ho, :]
+        if ho > 0:
+            a_prev[ho] = mr[ho, :, ho - 1, :]
+            check[ho, :, ho - 1, :] = mr[ho, :, ho - 1, :]
+        if ho < nb - 1:
+            a_next[ho] = mr[ho, :, ho + 1, :]
+            check[ho, :, ho + 1, :] = mr[ho, :, ho + 1, :]
+    assert np.array_equal(check, mr), "x2 upsample bandwidth exceeded one block"
+    return a_prev, a_same, a_next
+
+
+def _shift_grid(x: jnp.ndarray, axis: int, direction: int) -> jnp.ndarray:
+    """Neighbor block row/column with zero boundary (direction +1 = previous)."""
+    pad = [(0, 0)] * x.ndim
+    if direction > 0:
+        pad[axis] = (1, 0)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, x.shape[axis])
+    else:
+        pad[axis] = (0, 1)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(1, x.shape[axis] + 1)
+    return jnp.pad(x, pad)[tuple(sl)]
+
+
+def upsample2_ac_s2d(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """Bilinear x2 upsample (align_corners=True) on an s2d-b tensor -> s2d-2b.
+
+    Exact torch ``nn.Upsample(scale_factor=2, align_corners=True)`` semantics
+    (reference unet/unet_parts.py:70) without ever leaving lane space: the
+    interpolation matrix is block-banded, so each output block is three small
+    (2b x b) matmuls against the same / previous / next input block per axis
+    — O(b) work per output element vs the O(H) dense-matrix contraction the
+    NHWC path uses, and the tensor keeps >= 128 dense lanes throughout.
+    """
+    B, Hb, Wb, L = x.shape
+    c = L // (b * b)
+    in_dtype = x.dtype
+    xg = x.astype(jnp.float32).reshape(B, Hb, Wb, b, b, c)
+
+    ap, a0, an = (jnp.asarray(a) for a in _upsample2_band_np(Hb * b, b))
+    # rows: dy (b) -> dy_o (2b)
+    y = jnp.einsum("hyd,bhwdxc->bhwyxc", a0, xg)
+    y += jnp.einsum("hyd,bhwdxc->bhwyxc", ap, _shift_grid(xg, 1, +1))
+    y += jnp.einsum("hyd,bhwdxc->bhwyxc", an, _shift_grid(xg, 1, -1))
+
+    bp, b0, bn = (jnp.asarray(a) for a in _upsample2_band_np(Wb * b, b))
+    # cols: dx (b) -> dx_o (2b)
+    z = jnp.einsum("wxs,bhwysc->bhwyxc", b0, y)
+    z += jnp.einsum("wxs,bhwysc->bhwyxc", bp, _shift_grid(y, 2, +1))
+    z += jnp.einsum("wxs,bhwysc->bhwyxc", bn, _shift_grid(y, 2, -1))
+    return z.reshape(B, Hb, Wb, (2 * b) * (2 * b) * c).astype(in_dtype)
 
 
 def max_pool2_s2d(x: jnp.ndarray, b: int) -> jnp.ndarray:
