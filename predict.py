@@ -16,7 +16,9 @@ import sys
 
 def get_args():
     parser = argparse.ArgumentParser(description="Predict multiclass masks (.pth/.npz checkpoints)")
-    parser.add_argument("--model", "-m", required=True, help="Checkpoint path (.pth or .npz)")
+    parser.add_argument("--model", "-m", required=True,
+                        help="Checkpoint path (.pth/.pt state_dict, pickled module or "
+                             "TorchScript; .npz; .stablehlo)")
     parser.add_argument("--input", "-i", required=True, help="Input image file or directory")
     parser.add_argument("--output", "-o", help="Output directory (default: overwrite next to input)")
     parser.add_argument("--viz", "-v", action="store_true", default=False, help="Visualize results")

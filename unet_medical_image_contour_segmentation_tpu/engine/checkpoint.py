@@ -109,8 +109,8 @@ def load_checkpoint(path: str):
 
 
 def load_weights(path: str, *, bilinear: bool = False, use_attention: bool = False):
-    """Weights-only load (--load compat): .pth or .npz -> (params, bn_state, mask_values)."""
-    if str(path).endswith(".pth"):
+    """Weights-only load (--load compat): .pth/.pt or .npz -> (params, bn_state, mask_values)."""
+    if str(path).endswith((".pth", ".pt")):
         from ..models.torch_compat import load_pth
 
         return load_pth(path, bilinear=bilinear, use_attention=use_attention)

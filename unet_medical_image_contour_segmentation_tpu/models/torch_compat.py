@@ -102,10 +102,28 @@ def params_from_torch_state_dict(
 
 
 def load_pth(path: str, *, bilinear: bool = False, use_attention: bool = False):
-    """Load a reference ``.pth`` checkpoint into (params, state, mask_values)."""
+    """Load a reference ``.pth``/``.pt`` checkpoint into (params, state, mask_values).
+
+    Accepts all three artifact kinds a reference deployment may hold:
+    a raw ``state_dict`` (train.py:208-216), a whole pickled ``nn.Module``,
+    or a TorchScript archive (``torch.jit.save``, loaded by the reference
+    at predict.py:95-100) — the parameters are extracted host-side and
+    mapped onto our pytrees.
+    """
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = None
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(obj, dict):
+            sd = obj
+        elif hasattr(obj, "state_dict"):  # whole pickled module
+            sd = dict(obj.state_dict())
+    except Exception:
+        pass
+    if sd is None:
+        # TorchScript deployment artifact
+        sd = dict(torch.jit.load(path, map_location="cpu").state_dict())
     sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
     return params_from_torch_state_dict(
         sd, bilinear=bilinear, use_attention=use_attention
