@@ -1,10 +1,13 @@
 #!/usr/bin/env python
-"""Export a trained checkpoint as portable StableHLO (with a sanity forward).
+"""Export a trained checkpoint as StableHLO and/or ONNX (with sanity forwards).
 
 Mirror of ``/root/reference/export_model.py``: loads UNet_S(1, 3,
 bilinear=False) weights (mask_values stripped), exports with a dynamic batch
-axis and dynamic H/W (multiples of 16), then sanity-checks a forward pass —
-but emitting StableHLO instead of ONNX, runnable by any XLA-backed runtime.
+axis and dynamic H/W (multiples of 16), then sanity-checks a forward pass.
+``--format onnx`` emits the reference's exact deployment contract (opset 11,
+dynamic batch/height/width axes, NCHW); ``--format stablehlo`` (default)
+emits the TPU-native artifact runnable by any XLA-backed runtime; ``both``
+writes both next to each other.
 """
 
 import argparse
@@ -25,7 +28,13 @@ def main():
                         help="Output path (default: <model>.stablehlo)")
     parser.add_argument("--static", action="store_true", default=False,
                         help="Export with fully static 1x512x512 shapes")
+    parser.add_argument("--format", default=None,
+                        choices=["stablehlo", "onnx", "both"],
+                        help="Artifact format (default: inferred from -o "
+                             "extension, else stablehlo)")
     args = parser.parse_args()
+    if args.format is None:
+        args.format = "onnx" if (args.output or "").endswith(".onnx") else "stablehlo"
 
     import os
 
@@ -44,21 +53,54 @@ def main():
     params = jax.tree.map(jax.numpy.asarray, params)
     bn_state = jax.tree.map(jax.numpy.asarray, bn_state)
 
-    data = export_stablehlo(
-        model, params, bn_state,
-        dynamic_batch=not args.static,
-        dynamic_hw=not args.static,
-    )
-    out = args.output or os.path.splitext(args.model)[0] + ".stablehlo"
-    with open(out, "wb") as f:
-        f.write(data)
-    logging.info("Exported %d bytes of StableHLO to %s", len(data), out)
+    base = os.path.splitext(args.output or args.model)[0]
+    ok = True
 
-    if sanity_check(data, model, params, bn_state, hw=(128, 128)):
-        logging.info("Sanity forward passed.")
-        return 0
-    logging.error("Sanity forward FAILED.")
-    return 1
+    if args.format in ("stablehlo", "both"):
+        data = export_stablehlo(
+            model, params, bn_state,
+            dynamic_batch=not args.static,
+            dynamic_hw=not args.static,
+        )
+        out = args.output if (args.output and args.format == "stablehlo") \
+            else base + ".stablehlo"
+        with open(out, "wb") as f:
+            f.write(data)
+        logging.info("Exported %d bytes of StableHLO to %s", len(data), out)
+        if sanity_check(data, model, params, bn_state, hw=(128, 128)):
+            logging.info("StableHLO sanity forward passed.")
+        else:
+            logging.error("StableHLO sanity forward FAILED.")
+            ok = False
+
+    if args.format in ("onnx", "both"):
+        import numpy as np
+
+        from unet_medical_image_contour_segmentation_tpu.engine.onnx_export import (
+            export_onnx, run_with_torch,
+        )
+
+        out = args.output if (args.output and args.format == "onnx") \
+            else base + ".onnx"
+        data = export_onnx(model, params, bn_state, out)
+        logging.info("Exported %d bytes of ONNX (opset 11, dynamic axes) to %s",
+                     len(data), out)
+        # sanity: execute the serialized graph (torch-backed interpreter)
+        # against the live JAX forward
+        x = np.random.default_rng(0).random((1, 1, 128, 128), np.float32)
+        got = run_with_torch(data, x)
+        want, _ = model.apply(params, bn_state,
+                              jax.numpy.asarray(x.transpose(0, 2, 3, 1)),
+                              train=False)
+        want = np.asarray(want).transpose(0, 3, 1, 2)
+        if np.allclose(got, want, rtol=1e-2, atol=2e-3):
+            logging.info("ONNX sanity forward passed.")
+        else:
+            logging.error("ONNX sanity forward FAILED: max diff %s",
+                          np.abs(got - want).max())
+            ok = False
+
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
