@@ -289,7 +289,8 @@ class TestUNetPlusPlusS2d:
         params, state = model.init(jax.random.PRNGKey(9))
         x = jnp.asarray(_rand(1, 64, 64, 1, seed=41))
         assert model.supports_fused(x.shape)
-        logits_cm, _, b0 = model.apply_fused(params, state, x, train=False)
+        logits_cm, _, (kind, b0) = model.apply_fused(params, state, x, train=False)
+        assert kind == "s2d"
         pred = d2s_int(argmax_class_major(logits_cm, 3), b0)
         logits, _ = model.apply(params, state, x, train=False)
         np.testing.assert_array_equal(
@@ -314,7 +315,8 @@ class TestBNFolding:
 
         want, _ = model.apply(params, state, x, train=False)
         folded = fold_unet_params(params, state)
-        logits_cm, _, b0 = model.apply_fused(folded, None, x, train=False)
+        logits_cm, _, (kind, b0) = model.apply_fused(folded, None, x, train=False)
+        assert kind == "s2d"
         # convert class-major s2d lanes back for comparison
         g = b0 * b0
         got = logits_cm.reshape(*logits_cm.shape[:-1], 3, g)

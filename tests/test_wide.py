@@ -1,0 +1,197 @@
+"""Wide (width-only blocked) layout: op exactness + model parity vs NHWC.
+
+The wide layout (ops/wide.py, models/wide_exec.py) must be numerically
+exact against the dense NHWC path for every op and for full forwards/
+gradients — same invariant the square s2d layout carries (test_s2d.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unet_medical_image_contour_segmentation_tpu.ops import wide as W
+from unet_medical_image_contour_segmentation_tpu.ops.nn import (
+    batch_norm, conv2d, conv_transpose2d, max_pool2d,
+)
+from unet_medical_image_contour_segmentation_tpu.ops.resize import (
+    upsample_x2_align_corners,
+)
+from unet_medical_image_contour_segmentation_tpu.models.unet import (
+    unet_s, unet_sa, unet_t,
+)
+
+
+def _rand(*shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+class TestWideOps:
+    @pytest.mark.parametrize(
+        "k,cin,cout,bw",
+        [(3, 16, 16, 8), (3, 1, 16, 8), (3, 32, 16, 4), (3, 64, 64, 2),
+         (7, 2, 1, 8), (7, 2, 1, 2), (3, 16, 32, 8), (3, 8, 8, 16)],
+    )
+    def test_conv_exact(self, k, cin, cout, bw):
+        x = jnp.asarray(_rand(2, 16, 32, cin, seed=1))
+        w = jnp.asarray(_rand(k, k, cin, cout, seed=2))
+        b = jnp.asarray(_rand(cout, seed=3))
+        want = conv2d(x, w, b, padding=k // 2)
+        got = W.unpack(W.conv_wide(W.pack(x, bw), w, bw, b), bw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+
+    @pytest.mark.parametrize("bw", [8, 4, 2, 1])
+    def test_pool_exact(self, bw):
+        x = jnp.asarray(_rand(2, 16, 32, 16, seed=4))
+        want = max_pool2d(x, 2)
+        got = W.max_pool2_wide(W.pack(x, bw), bw)
+        if bw > 1:
+            got = W.unpack(got, bw // 2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_conv_transpose_exact(self):
+        x = jnp.asarray(_rand(2, 16, 32, 16, seed=5))
+        w = jnp.asarray(_rand(2, 2, 16, 8, seed=6))
+        b = jnp.asarray(_rand(8, seed=7))
+        want = conv_transpose2d(x, w, b, stride=2)
+        got = W.unpack(W.conv_transpose2_wide(W.pack(x, 8), w, 8, b), 16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("bw", [8, 2, 1])
+    def test_upsample_exact(self, bw):
+        x = jnp.asarray(_rand(2, 16, 24, 16, seed=8))
+        want = upsample_x2_align_corners(x)
+        got = W.unpack(W.upsample2_ac_wide(W.pack(x, bw), bw), 2 * bw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("train", [True, False])
+    def test_batch_norm_exact(self, train):
+        x = jnp.asarray(_rand(2, 16, 32, 16, seed=9))
+        sc = jnp.asarray(_rand(16, seed=10) + 1.0)
+        bi = jnp.asarray(_rand(16, seed=11))
+        rm = jnp.asarray(_rand(16, seed=12) * 0.1)
+        rv = jnp.abs(jnp.asarray(_rand(16, seed=13))) + 0.5
+        want, (m1, v1) = batch_norm(x, sc, bi, rm, rv, train=train)
+        got, (m2, v2) = W.batch_norm_wide(W.pack(x, 8), sc, bi, rm, rv, 8, train=train)
+        np.testing.assert_allclose(np.asarray(W.unpack(got, 8)), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-6, atol=1e-6)
+
+    def test_pack_mask_roundtrip(self):
+        m = jnp.asarray(np.random.default_rng(14).integers(0, 3, (2, 16, 32)))
+        for blk in [("wide", 8), ("s2d", 4), ("wide", 1)]:
+            packed = W.pack_mask(blk, m)
+            np.testing.assert_array_equal(
+                np.asarray(W.unpack_pred(blk, packed)), np.asarray(m)
+            )
+
+
+class TestWideModel:
+    @pytest.mark.parametrize("builder", [unet_s, unet_sa, unet_t])
+    @pytest.mark.parametrize("train", [True, False])
+    @pytest.mark.parametrize("bilinear", [False, True])
+    def test_model_wide_matches_nhwc(self, builder, train, bilinear):
+        model_nhwc = builder(1, 3, bilinear=bilinear, layout="nhwc")
+        model_wide = builder(1, 3, bilinear=bilinear, layout="wide")
+        params, state = model_nhwc.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(_rand(2, 64, 64, 1, seed=17))
+
+        want, ws = model_nhwc.apply(params, state, x, train=train)
+        got, gs = model_wide.apply(params, state, x, train=train)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        for a, b in zip(jax.tree.leaves(ws), jax.tree.leaves(gs)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_gradients_match(self):
+        model_nhwc = unet_s(1, 3, layout="nhwc")
+        model_wide = unet_s(1, 3, layout="wide")
+        params, state = model_nhwc.init(jax.random.PRNGKey(1))
+        x = jnp.asarray(_rand(1, 64, 64, 1, seed=18))
+
+        def loss(model):
+            def f(p):
+                logits, _ = model.apply(p, state, x, train=True)
+                return jnp.mean(jnp.square(logits))
+            return f
+
+        g1 = jax.grad(loss(model_nhwc))(params)
+        g2 = jax.grad(loss(model_wide))(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+
+    def test_auto_prefers_wide(self):
+        """auto layout routes %16 shapes to wide (and 67x75 to NHWC)."""
+        model = unet_s(1, 3, layout="auto")
+        params, state = model.init(jax.random.PRNGKey(2))
+        assert model.supports_fused((1, 64, 64, 1))
+        _, _, blk = model.apply_fused(params, state,
+                                      jnp.zeros((1, 64, 64, 1)), train=False)
+        assert blk == ("wide", 8)
+        logits, _ = model.apply(params, state, jnp.zeros((1, 67, 75, 1)))
+        assert logits.shape == (1, 67, 75, 3)
+
+    def test_fused_wide_matches_apply(self):
+        from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+            argmax_class_major,
+        )
+
+        model = unet_s(1, 3, layout="wide")
+        params, state = model.init(jax.random.PRNGKey(3))
+        x = jnp.asarray(_rand(2, 64, 64, 1, seed=19))
+        logits_cm, _, blk = model.apply_fused(params, state, x, train=False)
+        pred = W.unpack_pred(blk, argmax_class_major(logits_cm, 3))
+        logits, _ = model.apply(params, state, x, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(pred), np.asarray(jnp.argmax(logits, axis=-1))
+        )
+
+    def test_fused_loss_wide_matches_standard(self):
+        from unet_medical_image_contour_segmentation_tpu.losses.compound import (
+            LossConfig, compute_loss,
+        )
+        from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+            compute_loss_s2d_multiclass,
+        )
+
+        model = unet_s(1, 3, layout="wide")
+        params, state = model.init(jax.random.PRNGKey(4))
+        x = jnp.asarray(_rand(2, 64, 64, 1, seed=20))
+        t = jnp.asarray(np.random.default_rng(21).integers(0, 3, (2, 64, 64)))
+        cfg = LossConfig(n_classes=3)
+
+        logits, _ = model.apply(params, state, x, train=True)
+        want, _ = compute_loss(logits, t, cfg)
+        logits_cm, _, blk = model.apply_fused(params, state, x, train=True)
+        got, _ = compute_loss_s2d_multiclass(logits_cm, W.pack_mask(blk, t), cfg)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-6)
+
+    def test_folded_params_wide(self):
+        from unet_medical_image_contour_segmentation_tpu.models.fold_bn import (
+            fold_unet_params,
+        )
+        from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+            argmax_class_major,
+        )
+
+        model = unet_s(1, 3, layout="wide")
+        params, state = model.init(jax.random.PRNGKey(5))
+        state = jax.tree.map(
+            lambda a: a + 0.1 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size,
+            state,
+        )
+        x = jnp.asarray(_rand(2, 64, 64, 1, seed=22))
+        want, _ = model.apply(params, state, x, train=False)
+        folded = fold_unet_params(params, state)
+        logits_cm, _, blk = model.apply_fused(folded, None, x, train=False)
+        pred = W.unpack_pred(blk, argmax_class_major(logits_cm, 3))
+        np.testing.assert_array_equal(
+            np.asarray(pred), np.asarray(jnp.argmax(want, axis=-1))
+        )

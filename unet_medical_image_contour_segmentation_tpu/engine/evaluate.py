@@ -47,11 +47,11 @@ def eval_forward(model, n_classes: int, params, bn_state, image) -> jnp.ndarray:
         and model.supports_fused(image.shape)
     ):
         from ..losses.s2d_fused import argmax_class_major
-        from ..ops.s2d import d2s_int
+        from ..ops.wide import unpack_pred
 
-        logits_cm, _, b0 = model.apply_fused(params, bn_state, image, train=False)
+        logits_cm, _, blk = model.apply_fused(params, bn_state, image, train=False)
         pred = argmax_class_major(logits_cm, n_classes)
-        return d2s_int(pred, b0)
+        return unpack_pred(blk, pred)
     logits, _ = model.apply(params, bn_state, image, train=False)
     if n_classes == 1:
         prob = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))

@@ -97,14 +97,14 @@ class Predictor:
                 and model.supports_fused(images.shape)
             ):
                 from ..losses.s2d_fused import argmax_class_major
-                from ..ops.s2d import d2s_int
+                from ..ops.wide import unpack_pred
 
                 if folded is not None:
-                    logits_cm, _, b0 = model.apply_fused(folded, None, images, train=False)
+                    logits_cm, _, blk = model.apply_fused(folded, None, images, train=False)
                 else:
-                    logits_cm, _, b0 = model.apply_fused(params, bn_state, images, train=False)
+                    logits_cm, _, blk = model.apply_fused(params, bn_state, images, train=False)
                 pred = argmax_class_major(logits_cm, n_classes)
-                return d2s_int(pred, b0)
+                return unpack_pred(blk, pred)
             logits, _ = model.apply(params, bn_state, images, train=False)
             logits = bilinear_resize(
                 logits.astype(jnp.float32), out_hw[0], out_hw[1], align_corners=False

@@ -74,16 +74,16 @@ def make_train_step(
     def step_fn(state: TrainState, batch, lr):
         def loss_fn(params):
             if _use_fused_s2d(batch["image"].shape):
-                # class-major s2d logits + fused loss: no padded NHWC tensors
+                # class-major packed logits + fused loss: no padded NHWC tensors
                 from ..losses.s2d_fused import compute_loss_s2d_multiclass
-                from ..ops.s2d import s2d_int
+                from ..ops.wide import pack_mask
 
-                logits_cm, new_bn, b0 = model.apply_fused(
+                logits_cm, new_bn, blk = model.apply_fused(
                     params, state.bn_state, batch["image"],
                     train=True, axis_name=axis_name,
                 )
                 loss, metrics = compute_loss_s2d_multiclass(
-                    logits_cm, s2d_int(batch["mask"], b0), loss_cfg, axis_name
+                    logits_cm, pack_mask(blk, batch["mask"]), loss_cfg, axis_name
                 )
                 return loss, (new_bn, metrics)
             logits, new_bn = model.apply(

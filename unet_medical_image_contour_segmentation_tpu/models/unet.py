@@ -42,7 +42,9 @@ class UNet:
     use_attention: bool = False
     remat: bool = False
     compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16
-    layout: str = "auto"  # "auto" | "nhwc" | "s2d" (see models/s2d_exec.py)
+    # "auto" picks the fastest supported layout: wide (models/wide_exec.py)
+    # when H, W % 16 == 0, else square s2d, else dense NHWC.
+    layout: str = "auto"  # "auto" | "nhwc" | "s2d" | "wide"
     name: str = "unet_s"
 
     # -- construction -------------------------------------------------------
@@ -83,6 +85,16 @@ class UNet:
         """
         if x.ndim == 3:
             x = x[..., None]
+        if self.layout in ("auto", "wide"):
+            from .wide_exec import apply_wide, supports_wide
+
+            if supports_wide(self, x.shape):
+                return apply_wide(self, params, state, x, train=train, axis_name=axis_name)
+            if self.layout == "wide":
+                raise ValueError(
+                    f"wide layout unsupported for input {x.shape} "
+                    f"(H, W must divide 16); use layout='nhwc'"
+                )
         if self.layout in ("auto", "s2d"):
             from .s2d_exec import apply_s2d, supports_s2d
 
@@ -124,27 +136,44 @@ class UNet:
         # the loss in the reference).
         return logits.astype(jnp.float32), new_state
 
-    # -- fused s2d interface (engine/train, evaluate, predict use this) ------
+    # -- fused layout interface (engine/train, evaluate, predict use this) ---
     def supports_fused(self, x_shape) -> bool:
         """Can apply_fused run for this input shape?"""
-        if self.layout not in ("auto", "s2d"):
-            return False
-        from .s2d_exec import supports_s2d
+        if self.layout in ("auto", "wide"):
+            from .wide_exec import supports_wide
 
-        return supports_s2d(self, x_shape)
+            if supports_wide(self, x_shape):
+                return True
+        if self.layout in ("auto", "s2d"):
+            from .s2d_exec import supports_s2d
+
+            return supports_s2d(self, x_shape)
+        return False
 
     def apply_fused(self, params, state, x, *, train: bool = False, axis_name=None):
-        """Class-major s2d logits for fused loss/eval paths.
+        """Class-major packed logits for fused loss/eval paths.
 
-        Returns (logits_cm [B,H/b,W/b,n_classes*b*b], new_state, b).
+        Returns (logits_cm, new_state, blk) where blk is a layout descriptor
+        ("wide", bw) or ("s2d", b) consumed by ops.wide.pack_mask /
+        unpack_pred.  Lanes are class-major, so losses/s2d_fused.py works on
+        either layout (it only relies on the lane-group size).
         """
+        if self.layout in ("auto", "wide"):
+            from .wide_exec import apply_wide, output_bw, supports_wide
+
+            if supports_wide(self, x.shape):
+                logits_cm, new_state = apply_wide(
+                    self, params, state, x, train=train, axis_name=axis_name,
+                    unpack_output=False, class_major=True,
+                )
+                return logits_cm, new_state, ("wide", output_bw(self, params))
         from .s2d_exec import apply_s2d, output_block
 
         logits_cm, new_state = apply_s2d(
             self, params, state, x, train=train, axis_name=axis_name,
             d2s_output=False, class_major=True,
         )
-        return logits_cm, new_state, output_block(self, params)
+        return logits_cm, new_state, ("s2d", output_block(self, params))
 
     def with_options(self, **kw) -> "UNet":
         return dataclasses.replace(self, **kw)

@@ -157,7 +157,7 @@ class UNetPlusPlus:
         logits_cm, new_state, b0 = self._apply_s2d(
             params, state, x, train=train, axis_name=axis_name, class_major=True
         )
-        return logits_cm, new_state, b0
+        return logits_cm, new_state, ("s2d", b0)
 
     def _apply_s2d(self, params, state, x, *, train, axis_name, class_major):
         from ..ops import s2d as S

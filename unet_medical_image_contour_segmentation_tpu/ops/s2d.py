@@ -344,15 +344,17 @@ def batch_norm_s2d(
     momentum: float = 0.1,
     eps: float = 1e-5,
     axis_name=None,
+    groups: Optional[int] = None,
 ):
     """BatchNorm2d with exact torch semantics on an s2d-b tensor.
 
-    Stats are per *original* channel: lane stats are regrouped (b*b, C) and
-    averaged; normalization applies lane-tiled scale/bias so the tensor never
-    leaves its dense layout.
+    Stats are per *original* channel: lane stats are regrouped (groups, C)
+    and averaged; normalization applies lane-tiled scale/bias so the tensor
+    never leaves its dense layout.  ``groups`` defaults to b*b (square
+    blocks); the wide layout passes groups=bw (ops/wide.py).
     """
     in_dtype = x.dtype
-    g = b * b
+    g = b * b if groups is None else groups
     c = x.shape[-1] // g
     xf = x.astype(jnp.float32)
     if train:

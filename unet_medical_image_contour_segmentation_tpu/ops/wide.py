@@ -1,0 +1,294 @@
+"""Width-only blocked ("wide") execution layout — lane-dense with free transitions.
+
+A tensor at resolution (H, W, C) is stored as (H, W/bw, bw*C) with lane index
+(dx*C + c).  Like the square s2d layout (ops/s2d.py) this keeps >= 128 dense
+lanes for small C, but blocking ONLY the width has two structural advantages
+measured on v5e (see CLAUDE.md conv landscape):
+
+* **Half the MAC inflation.**  An XLA block conv's MAC inflation equals the
+  lane-padding factor L/C for any block shape, so the minimum for a k x k
+  conv is reached at the smallest L >= 128: bw = 128/C.  Square s2d-b4
+  (L = 256 for C=16) pays 16x; wide-8 (L = 128) pays 8x — measured 1.43x
+  faster for the 512^2 C=16 level, 1.09x for the C=64 level (wide-2 vs b2).
+  The kernel's H-extent stays k (H is a spatial dim), W-extent is
+  2*ceil((k//2)/bw)+1 blocks.
+
+* **Free layout transitions.**  (H, W/bw, bw*C) <-> (H, W/bw', bw'*C) <->
+  dense NHWC are all row-major reshapes of the last two dims — no
+  lane<->sublane transpose, so every level can run at its own optimal bw
+  and the decoder can concat/reblock at will.  (Square s2d needs scatter
+  repacks between block plans.)
+
+All ops here are numerically exact equivalents of their NHWC counterparts
+(tested in tests/test_wide.py) and fully autodiff-able.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "wide_block",
+    "pack",
+    "unpack",
+    "pack_int",
+    "unpack_int",
+    "reblock",
+    "conv_wide",
+    "conv1x1_wide",
+    "conv1x1_wide_class_major",
+    "conv_transpose2_wide",
+    "max_pool2_wide",
+    "upsample2_ac_wide",
+    "batch_norm_wide",
+    "concat_wide",
+]
+
+
+def wide_block(c: int, max_bw: int = 8) -> int:
+    """Largest power-of-two bw <= max_bw with bw*c just covering 128 lanes."""
+    bw = 1
+    while bw < max_bw and bw * c < 128:
+        bw *= 2
+    return bw
+
+
+# -- packing: all pure reshapes ------------------------------------------------
+
+def pack(x: jnp.ndarray, bw: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W/bw, bw*C)."""
+    if bw == 1:
+        return x
+    B, H, W, C = x.shape
+    return x.reshape(B, H, W // bw, bw * C)
+
+
+def unpack(x: jnp.ndarray, bw: int) -> jnp.ndarray:
+    if bw == 1:
+        return x
+    B, H, Wb, L = x.shape
+    return x.reshape(B, H, Wb * bw, L // bw)
+
+
+def pack_int(m: jnp.ndarray, bw: int) -> jnp.ndarray:
+    """(B, H, W) integer map -> (B, H, W/bw, bw)."""
+    B, H, W = m.shape
+    return m.reshape(B, H, W // bw, bw)
+
+
+def unpack_int(m: jnp.ndarray, bw: int) -> jnp.ndarray:
+    B, H, Wb, g = m.shape
+    return m.reshape(B, H, Wb * g)
+
+
+def reblock(x: jnp.ndarray, bw_from: int, bw_to: int, c: int) -> jnp.ndarray:
+    """Change block width at the same resolution (pure reshape)."""
+    if bw_from == bw_to:
+        return x
+    return pack(unpack(x, bw_from), bw_to)
+
+
+# -- convolution ----------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _scatter_map_wide(k: int, bw: int) -> Tuple[np.ndarray, int]:
+    """Static scatter for a k x k SAME conv: width taps -> block-lane taps.
+
+    Returns (map, R): map[Rj, dxi, dxo, v] in {0,1}, R = W-block kernel
+    extent.  Nonzero iff input pixel (block Rj - cen, intra dxi) at width tap
+    v feeds output intra-pixel dxo: dxo + v - p == (Rj - cen)*bw + dxi.
+    """
+    p = k // 2
+    cen = math.ceil(p / bw)
+    R = 2 * cen + 1
+    m = np.zeros((R, bw, bw, k), np.float32)
+    for dxo in range(bw):
+        for v in range(k):
+            t = dxo + v - p
+            m[cen + (t // bw), t % bw, dxo, v] = 1.0
+    return m, R
+
+
+def _scatter_kernel_wide(w: jnp.ndarray, bw: int) -> Tuple[jnp.ndarray, int]:
+    """(k, k, Cin, Cout) -> (k, R, bw*Cin, bw*Cout) block-space kernel."""
+    k = w.shape[0]
+    cin, cout = w.shape[2], w.shape[3]
+    m, R = _scatter_map_wide(k, bw)
+    ws = jnp.einsum("Rixv,uvco->uRicxo", jnp.asarray(m, w.dtype), w)
+    return ws.reshape(k, R, bw * cin, bw * cout), R
+
+
+def conv_wide(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bw: int,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """k x k stride-1 SAME conv on a wide-bw tensor; exact NHWC equivalent.
+
+    x: (B, H, W/bw, bw*Cin); w: (k, k, Cin, Cout) -> (B, H, W/bw, bw*Cout).
+    """
+    if bw == 1:
+        from .nn import conv2d
+
+        return conv2d(x, w, bias, padding=w.shape[0] // 2, compute_dtype=compute_dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    ws, R = _scatter_kernel_wide(w, bw)
+    k = w.shape[0]
+    dn = lax.conv_dimension_numbers(x.shape, ws.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, ws, (1, 1), [(k // 2, k // 2), (R // 2, R // 2)], dimension_numbers=dn
+    )
+    if bias is not None:
+        y = y + jnp.tile(bias, bw).astype(y.dtype)
+    return y
+
+
+def conv1x1_wide(x, w, bw, bias=None, compute_dtype=None):
+    """1x1 conv: per-dx-group channel matmul (layout-preserving)."""
+    from .s2d import conv1x1_s2d  # group count derived from shapes, not b
+
+    return conv1x1_s2d(x, w, bw, bias, compute_dtype=compute_dtype)
+
+
+def conv1x1_wide_class_major(x, w, bw, bias=None, compute_dtype=None):
+    """1x1 conv emitting class-major lanes (co*bw + dx) for the fused losses."""
+    from .s2d import conv1x1_s2d_class_major
+
+    return conv1x1_s2d_class_major(x, w, bw, bias, compute_dtype=compute_dtype)
+
+
+# -- pooling / upsampling --------------------------------------------------------
+
+def max_pool2_wide(x: jnp.ndarray, bw: int) -> jnp.ndarray:
+    """MaxPool2d(2): rows pair-max (sublane) + lane pair-max.
+
+    (B, H, W/bw, bw*C) -> (B, H/2, W/(2*?) ...): for bw >= 2 the grid is
+    unchanged and the block halves (bw -> bw/2); for bw == 1 the W axis
+    itself halves (plain NHWC pooling).
+    """
+    y = jnp.maximum(x[:, 0::2], x[:, 1::2])
+    if bw == 1:
+        return jnp.maximum(y[:, :, 0::2], y[:, :, 1::2])
+    B, H2, Wb, L = y.shape
+    c = L // bw
+    yg = y.reshape(B, H2, Wb, bw // 2, 2, c)
+    return jnp.max(yg, axis=4).reshape(B, H2, Wb, (bw // 2) * c)
+
+
+def conv_transpose2_wide(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bw: int,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """ConvTranspose2d(k=2, s=2) on a wide-bw tensor -> wide-(2bw) at 2x res.
+
+    Row doubling rides the (spatial) H axis via an interleaving reshape;
+    width doubling is a pure lane expansion.  w: (2, 2, Cin, Cout) HWIO.
+    """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    B, H, Wb, L = x.shape
+    cin, cout = w.shape[2], w.shape[3]
+    xg = x.reshape(B, H, Wb, bw, cin)
+    # y[h, r, wb, dx, s, co]: output row 2h+r, intra-pixel 2dx+s
+    y = jnp.einsum("bhwxc,rsco->bhrwxso", xg, w)
+    y = y.reshape(B, 2 * H, Wb, 2 * bw * cout)
+    if bias is not None:
+        y = y + jnp.tile(bias, 2 * bw).astype(y.dtype)
+    return y
+
+
+def upsample2_ac_wide(x: jnp.ndarray, bw: int) -> jnp.ndarray:
+    """Bilinear x2 upsample (align_corners=True), wide-bw -> wide-(2bw) at 2x.
+
+    H axis: gather + lerp with static torch-semantics indices (sublane
+    gathers, lanes stay dense).  W axis: the same banded block matmuls the
+    square layout uses (ops/s2d.py:_upsample2_band_np) restricted to one
+    axis.  Exact vs ops/resize.upsample_x2_align_corners.
+    """
+    from .resize import _interp_matrix_np
+    from .s2d import _shift_grid, _upsample2_band_np
+
+    B, H, Wb, L = x.shape
+    c = L // bw
+    in_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+
+    # rows: out[i] = (1-f) * x[i0] + f * x[i1]
+    mat = _interp_matrix_np(H, 2 * H, True)
+    i0 = np.argmax(mat > 0, axis=1)
+    frac = 1.0 - mat[np.arange(2 * H), i0]
+    i1 = np.minimum(i0 + 1, H - 1)
+    f = jnp.asarray(frac, jnp.float32)[None, :, None, None]
+    y = jnp.take(xf, jnp.asarray(i0), axis=1) * (1.0 - f) + \
+        jnp.take(xf, jnp.asarray(i1), axis=1) * f
+
+    # cols: banded block matmuls, band = one block either side
+    bp, b0, bn = (jnp.asarray(a) for a in _upsample2_band_np(Wb * bw, bw))
+    yg = y.reshape(B, 2 * H, Wb, bw, c)
+    z = jnp.einsum("wxs,bhwsc->bhwxc", b0, yg)
+    z += jnp.einsum("wxs,bhwsc->bhwxc", bp, _shift_grid(yg, 2, +1))
+    z += jnp.einsum("wxs,bhwsc->bhwxc", bn, _shift_grid(yg, 2, -1))
+    return z.reshape(B, 2 * H, Wb, 2 * bw * c).astype(in_dtype)
+
+
+# -- normalization / concat -------------------------------------------------------
+
+def batch_norm_wide(x, scale, bias, running_mean, running_var, bw, *,
+                    train: bool, momentum: float = 0.1, eps: float = 1e-5,
+                    axis_name=None):
+    """BatchNorm2d with torch semantics on a wide-bw tensor (lane groups bw)."""
+    from .s2d import batch_norm_s2d
+
+    return batch_norm_s2d(
+        x, scale, bias, running_mean, running_var, bw,
+        train=train, momentum=momentum, eps=eps, axis_name=axis_name,
+        groups=bw,
+    )
+
+
+def concat_wide(xs, bw: int, channels) -> jnp.ndarray:
+    """Channel-concat of same-block wide tensors (per-dx-group lane concat)."""
+    parts = [x.reshape(*x.shape[:-1], bw, c) for x, c in zip(xs, channels)]
+    y = jnp.concatenate(parts, axis=-1)
+    return y.reshape(*y.shape[:-2], bw * sum(channels))
+
+
+# -- fused-path layout descriptors -------------------------------------------------
+#
+# ``model.apply_fused`` returns a block descriptor ("s2d", b) or ("wide", bw)
+# alongside the class-major logits; the fused loss/eval consumers use these
+# two helpers instead of hard-coding one layout's int pack.
+
+def pack_mask(blk, mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) integer mask -> the lane grouping matching ``blk``."""
+    kind, n = blk
+    if kind == "s2d":
+        from .s2d import s2d_int
+
+        return s2d_int(mask, n)
+    return pack_int(mask, n)
+
+
+def unpack_pred(blk, pred: jnp.ndarray) -> jnp.ndarray:
+    """Lane-grouped integer prediction -> (B, H, W) map."""
+    kind, n = blk
+    if kind == "s2d":
+        from .s2d import d2s_int
+
+        return d2s_int(pred, n)
+    return unpack_int(pred, n)
