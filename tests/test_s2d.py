@@ -354,25 +354,3 @@ class TestS2dFuzz:
         got = S.d2s(S.conv_s2d(S.s2d(x, b), wgt, b), b)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
-
-
-class TestFusedDoubleConv:
-    @pytest.mark.parametrize("h,w,cin", [(32, 32, 16), (96, 48, 16), (64, 96, 32)])
-    def test_exact_vs_unfused(self, h, w, cin):
-        from unet_medical_image_contour_segmentation_tpu.ops.pallas_conv import (
-            fused_double_conv_b4,
-        )
-
-        rng = np.random.default_rng(60)
-        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
-        w1 = jnp.asarray(rng.standard_normal((3, 3, cin, 16)).astype(np.float32)) * 0.2
-        b1 = jnp.asarray(rng.standard_normal((16,)).astype(np.float32)) * 0.2
-        w2 = jnp.asarray(rng.standard_normal((3, 3, 16, 16)).astype(np.float32)) * 0.2
-        b2 = jnp.asarray(rng.standard_normal((16,)).astype(np.float32)) * 0.2
-
-        y = jnp.maximum(conv2d(x, w1, b1, padding=1), 0)
-        want = jnp.maximum(conv2d(y, w2, b2, padding=1), 0)
-        folded = {"conv1": {"w": w1, "b": b1}, "conv2": {"w": w2, "b": b2}}
-        got = S.d2s(fused_double_conv_b4(S.s2d(x, 4), folded), 4)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-4, atol=1e-4)

@@ -191,146 +191,3 @@ def _bwd_rule(res, g):
 
 
 conv_s2d_b4_im2col.defvjp(_fwd_rule, _bwd_rule)
-
-
-# ---------------------------------------------------------------------------
-# Fused DoubleConv (eval, BN-folded): conv+bias+relu -> conv+bias+relu, one
-# kernel, the intermediate never leaves VMEM.
-# ---------------------------------------------------------------------------
-
-def _assemble(dst, rows_all, tr_out, g_out, cin, col0):
-    """im2col into ``dst`` (tr_out, g_out, 36*cin) from (tr_out+2, >=g_out+2, 16*cin).
-
-    ``col0``: column offset of the first output block inside the source tile.
-    """
-    for wu in range(WIN):
-        goff = (3 + wu) // B4
-        di = (3 + wu) % B4
-        rows = rows_all[goff : goff + tr_out]
-        base = wu * WIN * cin
-        dst[:, :, base : base + cin] = (
-            rows[:, col0 - 1 : col0 - 1 + g_out, (di * B4 + 3) * cin : (di * B4 + 4) * cin]
-        )
-        dst[:, :, base + cin : base + 5 * cin] = (
-            rows[:, col0 : col0 + g_out, di * B4 * cin : (di * B4 + 4) * cin]
-        )
-        dst[:, :, base + 5 * cin : base + 6 * cin] = (
-            rows[:, col0 + 1 : col0 + 1 + g_out, di * B4 * cin : (di * B4 + 1) * cin]
-        )
-
-
-def _fused_dc_kernel(xp_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
-                     xs, patch1, mid, patch2, sems, *, tr, g, cin):
-    """Grid cell (b, i): rows [i*tr, i*tr+tr) of the fused DoubleConv output.
-
-    Stage 1 computes conv1+bias+relu on a (tr+2, g+2) block halo so stage 2
-    has its own halo in VMEM; the input tile is (tr+4) rows of the 2-block-
-    padded input, DMA'd double-buffered.
-    """
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    n_tiles = pl.num_programs(1)
-    slot = i % 2
-    nxt = (i + 1) % 2
-
-    def dma(tile_idx, slot_idx):
-        return pltpu.make_async_copy(
-            xp_hbm.at[b, pl.ds(tile_idx * tr, tr + 4)], xs.at[slot_idx],
-            sems.at[slot_idx],
-        )
-
-    @pl.when(i == 0)
-    def _():
-        dma(0, 0).start()
-
-    @pl.when(i + 1 < n_tiles)
-    def _():
-        dma(i + 1, nxt).start()
-
-    dma(i, slot).wait()
-
-    # stage 1: conv1 + bias + relu over the (tr+2, g+2) halo tile
-    # (xs col 0 = unpadded col -2 = the left neighbor of the first halo
-    # output col -1, so the window offset is 1, exactly like the rows)
-    _assemble(patch1, xs[slot], tr + 2, g + 2, cin, col0=1)
-    acc1 = jnp.dot(
-        patch1[:].reshape((tr + 2) * (g + 2), WIN * WIN * cin), w1_ref[:],
-        preferred_element_type=jnp.float32,
-    )
-    acc1 = jnp.maximum(acc1 + b1_ref[:].astype(jnp.float32), 0.0)
-    mid[:, :, :] = acc1.reshape(tr + 2, g + 2, 16 * 16).astype(mid.dtype)
-
-    # conv2's SAME padding must see ZEROS outside the image, not
-    # relu(conv1(padding)): zero the halo ring at the global boundaries
-    mid[:, 0:1, :] = jnp.zeros_like(mid[:, 0:1, :])
-    mid[:, g + 1 : g + 2, :] = jnp.zeros_like(mid[:, g + 1 : g + 2, :])
-
-    @pl.when(i == 0)
-    def _():
-        mid[0:1] = jnp.zeros_like(mid[0:1])
-
-    @pl.when(i == n_tiles - 1)
-    def _():
-        mid[tr + 1 : tr + 2] = jnp.zeros_like(mid[tr + 1 : tr + 2])
-
-    # stage 2: conv2 + bias + relu on the in-VMEM intermediate (cin2 = 16)
-    _assemble(patch2, mid, tr, g, 16, col0=1)
-    acc2 = jnp.dot(
-        patch2[:].reshape(tr * g, WIN * WIN * 16), w2_ref[:],
-        preferred_element_type=jnp.float32,
-    )
-    acc2 = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32), 0.0)
-    out_ref[0] = acc2.reshape(tr, g, out_ref.shape[-1]).astype(out_ref.dtype)
-
-
-def fused_double_conv_b4(x, folded, compute_dtype=None):
-    """BN-folded eval DoubleConv on an s2d-4 tensor, fully fused in VMEM.
-
-    x: (B, G, G, 16*Cin); folded: fold_bn.fold_double_conv output with
-    conv1 (3,3,Cin,16) and conv2 (3,3,16,Cout=16-channel) kernels.
-    Exact equivalent of the folded two-conv chain (tested vs the XLA path).
-    """
-    w1, b1 = folded["conv1"]["w"], folded["conv1"]["b"]
-    w2, b2 = folded["conv2"]["w"], folded["conv2"]["b"]
-    cin, cmid = w1.shape[2], w1.shape[3]
-    cout = w2.shape[3]
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-    dt = x.dtype
-    bsz, gh, gw, _ = x.shape
-    tr = min(8, gh)
-    # pad 2 block rows/cols (stage-1 halo includes stage-2's); the in-kernel
-    # column window reaches index gw+4, so total width >= gw+5, 8-aligned
-    gwp = -(-(gw + 5) // 8) * 8
-    xp = jnp.pad(x, ((0, 0), (2, 2), (2, gwp - gw - 2), (0, 0)))
-    gwp = xp.shape[2]
-    w1m = _w_im2col(w1.astype(dt))
-    w2m = _w_im2col(w2.astype(dt))
-    b1v = jnp.tile(b1, 16).astype(jnp.float32)
-    b2v = jnp.tile(b2, 16).astype(jnp.float32)
-
-    kern = functools.partial(_fused_dc_kernel, tr=tr, g=gw, cin=cin)
-    return pl.pallas_call(
-        kern,
-        grid=(bsz, gh // tr),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tr, gw, 16 * cout), lambda b, i: (b, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((bsz, gh, gw, 16 * cout), dt),
-        scratch_shapes=[
-            pltpu.VMEM((2, tr + 4, gwp, 16 * cin), dt),
-            pltpu.VMEM((tr + 2, gw + 2, WIN * WIN * cin), dt),
-            pltpu.VMEM((tr + 2, gw + 2, 16 * cmid), dt),
-            pltpu.VMEM((tr, gw, WIN * WIN * 16), dt),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=jax.default_backend() != "tpu",
-    )(xp, w1m, b1v, w2m, b2v)
