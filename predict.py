@@ -27,7 +27,9 @@ def get_args():
     parser.add_argument("--no-postprocess", dest="postprocess", action="store_false",
                         help="Skip cv2 mask cleanup (the reference's -p cannot be disabled; ours can)")
     parser.add_argument("--batch-size", type=int, default=8)
-    parser.add_argument("--arch", default="unet", choices=["unet", "unet_t", "unet_s", "unet_sa"],
+    parser.add_argument("--arch", default="unet",
+                        choices=["unet", "unet_t", "unet_s", "unet_sa",
+                                 "unet_pp", "unet_pp_s", "yolov8_seg_s"],
                         help="Architecture for weight files (reference predict.py hardcodes unet)")
     parser.add_argument("--classes", type=int, default=3)
     parser.add_argument("--bilinear", action="store_true", default=False)

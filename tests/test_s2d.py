@@ -285,7 +285,7 @@ class TestUNetPlusPlusS2d:
         from unet_medical_image_contour_segmentation_tpu.models.unet_nested import unet_pp_s
         from unet_medical_image_contour_segmentation_tpu.ops.s2d import d2s_int
 
-        model = unet_pp_s(1, 3)
+        model = unet_pp_s(1, 3, layout="s2d")  # auto now prefers wide
         params, state = model.init(jax.random.PRNGKey(9))
         x = jnp.asarray(_rand(1, 64, 64, 1, seed=41))
         assert model.supports_fused(x.shape)

@@ -173,6 +173,101 @@ class TestWideModel:
         got, _ = compute_loss_s2d_multiclass(logits_cm, W.pack_mask(blk, t), cfg)
         np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-6)
 
+    def test_unetpp_wide_matches_nhwc(self):
+        from unet_medical_image_contour_segmentation_tpu.models.unet_nested import (
+            unet_pp_s,
+        )
+
+        for bilinear in (False, True):
+            for train in (True, False):
+                nhwc = unet_pp_s(1, 3, bilinear=bilinear, layout="nhwc")
+                wide = unet_pp_s(1, 3, bilinear=bilinear, layout="wide")
+                params, state = nhwc.init(jax.random.PRNGKey(6))
+                x = jnp.asarray(_rand(1, 64, 64, 1, seed=23))
+                want, ws = nhwc.apply(params, state, x, train=train)
+                got, gs = wide.apply(params, state, x, train=train)
+                np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                           rtol=1e-4, atol=1e-4)
+                for a, b in zip(jax.tree.leaves(ws), jax.tree.leaves(gs)):
+                    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                               rtol=1e-4, atol=1e-5)
+
+    def test_unetpp_deep_supervision_wide(self):
+        from unet_medical_image_contour_segmentation_tpu.models.unet_nested import (
+            unet_pp_s,
+        )
+
+        nhwc = unet_pp_s(1, 3, deep_supervision=True, layout="nhwc")
+        wide = unet_pp_s(1, 3, deep_supervision=True, layout="wide")
+        params, state = nhwc.init(jax.random.PRNGKey(7))
+        x = jnp.asarray(_rand(1, 32, 32, 1, seed=24))
+        want, _ = nhwc.apply(params, state, x, train=False)
+        got, _ = wide.apply(params, state, x, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_unetpp_gradients_match(self):
+        from unet_medical_image_contour_segmentation_tpu.models.unet_nested import (
+            unet_pp_s,
+        )
+
+        nhwc = unet_pp_s(1, 3, layout="nhwc")
+        wide = unet_pp_s(1, 3, layout="wide")
+        params, state = nhwc.init(jax.random.PRNGKey(8))
+        x = jnp.asarray(_rand(1, 64, 64, 1, seed=25))
+
+        def loss(model):
+            def f(p):
+                logits, _ = model.apply(p, state, x, train=True)
+                return jnp.mean(jnp.square(logits))
+            return f
+
+        g1 = jax.grad(loss(nhwc))(params)
+        g2 = jax.grad(loss(wide))(params)
+        # The layouts agree to ~6e-6 relative in float64; in f32 the nested
+        # topology's BN-heavy accumulation chains leave ~0.7%-of-leaf-scale
+        # reduction-order noise between ANY two layouts (nhwc<->s2d measures
+        # the same), so compare each leaf's deviation against its own scale.
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.max(np.abs(a)) + 1e-12
+            assert np.max(np.abs(a - b)) <= 2e-2 * scale + 1e-5
+
+    def test_unetpp_auto_prefers_wide_and_folds(self):
+        from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+            argmax_class_major,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.fold_bn import (
+            fold_params,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.unet_nested import (
+            unet_pp_s,
+        )
+
+        model = unet_pp_s(1, 3)  # auto layout
+        params, state = model.init(jax.random.PRNGKey(9))
+        state = jax.tree.map(
+            lambda a: a + 0.1 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size,
+            state,
+        )
+        x = jnp.asarray(_rand(1, 64, 64, 1, seed=26))
+        assert model.supports_fused(x.shape)
+        want, _ = model.apply(params, state, x, train=False)
+
+        logits_cm, _, blk = model.apply_fused(params, state, x, train=False)
+        assert blk == ("wide", 8)
+        pred = W.unpack_pred(blk, argmax_class_major(logits_cm, 3))
+        np.testing.assert_array_equal(
+            np.asarray(pred), np.asarray(jnp.argmax(want, axis=-1))
+        )
+        # generic BN folding covers the nested topology too
+        folded = fold_params(params, state)
+        logits_cm_f, _, blk_f = model.apply_fused(folded, None, x, train=False)
+        pred_f = W.unpack_pred(blk_f, argmax_class_major(logits_cm_f, 3))
+        np.testing.assert_array_equal(
+            np.asarray(pred_f), np.asarray(jnp.argmax(want, axis=-1))
+        )
+
     def test_folded_params_wide(self):
         from unet_medical_image_contour_segmentation_tpu.models.fold_bn import (
             fold_unet_params,

@@ -34,7 +34,8 @@ def get_args():
     parser.add_argument("--bilinear", action="store_true", default=False, help="Use bilinear upsampling")
     parser.add_argument("--classes", "-c", type=int, default=3, help="Number of classes")
     parser.add_argument("--model", "-m", default="unet_s",
-                        choices=["unet", "unet_t", "unet_s", "unet_sa"],
+                        choices=["unet", "unet_t", "unet_s", "unet_sa",
+                                 "unet_pp", "unet_pp_s", "yolov8_seg_s"],
                         help="Model variant (reference default: unet_s)")
     parser.add_argument("--data-root", default="data/data-without-black-shadow")
     parser.add_argument("--num-devices", type=int, default=None,

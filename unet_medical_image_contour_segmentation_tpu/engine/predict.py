@@ -71,11 +71,11 @@ class Predictor:
         self.folded_params = None
         if fold_bn:
             try:
-                from ..models.fold_bn import fold_unet_params
+                from ..models.fold_bn import fold_params
 
-                self.folded_params = fold_unet_params(params, bn_state)
+                self.folded_params = fold_params(params, bn_state)
             except (KeyError, TypeError):
-                pass  # non-UNet-topology params: fall back to live BN
+                pass  # no conv+BN pairs to fold: fall back to live BN
 
     def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
         key = (in_hw, out_hw)

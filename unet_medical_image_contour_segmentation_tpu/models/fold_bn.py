@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops.nn import BN_EPS
 
-__all__ = ["fold_double_conv", "fold_unet_params"]
+__all__ = ["fold_double_conv", "fold_params", "fold_unet_params"]
 
 
 def _fold(conv_w, bn_params, bn_state, eps=BN_EPS):
@@ -35,21 +35,35 @@ def fold_double_conv(params, state):
     }
 
 
-def fold_unet_params(params, state):
-    """UNet-family params -> folded pytree (same topology keys).
+def fold_params(params, state):
+    """Fold every DoubleConv's BN affine, any topology (UNet, UNet++, ...).
 
-    Up blocks keep their upconv/attention entries; only Conv+BN pairs fold.
+    Walks the param tree in parallel with the BN state tree: a subtree with
+    ``bn1``/``bn2`` keys is a DoubleConv and folds; everything else (upconv,
+    attention, heads) passes through untouched.  Raises KeyError when no
+    DoubleConv is found (caller falls back to live BN).
     """
-    folded = {"inc": fold_double_conv(params["inc"], state["inc"])}
-    for i in range(1, 5):
-        folded[f"down{i}"] = fold_double_conv(params[f"down{i}"], state[f"down{i}"])
-    for i in range(1, 5):
-        p = dict(params[f"up{i}"])
-        entry = {"conv": fold_double_conv(p["conv"], state[f"up{i}"]["conv"])}
-        if "upconv" in p:
-            entry["upconv"] = p["upconv"]
-        if "att" in p:
-            entry["att"] = p["att"]
-        folded[f"up{i}"] = entry
-    folded["outc"] = params["outc"]
-    return folded
+    n_folded, out = _fold_tree(params, state)
+    if n_folded == 0:
+        raise KeyError("no DoubleConv (conv+bn) subtrees to fold")
+    return out
+
+
+def _fold_tree(params, state):
+    if not isinstance(params, dict):
+        return 0, params
+    if "bn1" in params:
+        return 1, fold_double_conv(params, state)
+    n_total, out = 0, {}
+    for k, v in params.items():
+        if isinstance(v, dict) and isinstance(state, dict) and k in state:
+            n, out[k] = _fold_tree(v, state[k])
+            n_total += n
+        else:
+            out[k] = v
+    return n_total, out
+
+
+def fold_unet_params(params, state):
+    """UNet-family params -> folded pytree (same topology keys)."""
+    return fold_params(params, state)

@@ -38,7 +38,7 @@ class UNetPlusPlus:
     deep_supervision: bool = False
     remat: bool = False
     compute_dtype: Optional[jnp.dtype] = None
-    layout: str = "auto"  # "auto" | "nhwc" | "s2d" (see _apply_s2d)
+    layout: str = "auto"  # "auto" | "nhwc" | "s2d" | "wide" (see _apply_wide)
     name: str = "unet_pp_s"
 
     @property
@@ -81,7 +81,19 @@ class UNetPlusPlus:
     def apply(self, params, state, x, *, train: bool = False, axis_name=None):
         if x.ndim == 3:
             x = x[..., None]
-        if self.layout in ("auto", "s2d") and self.supports_fused(x.shape):
+        if self.layout in ("auto", "wide") and self._supports_wide(x.shape):
+            from ..ops import wide as W
+
+            logits_w, new_state, b0 = self._apply_wide(
+                params, state, x, train=train, axis_name=axis_name, class_major=False
+            )
+            return W.unpack(logits_w, b0), new_state
+        if self.layout == "wide":
+            raise ValueError(
+                f"wide layout unsupported for input {x.shape} "
+                f"(H, W must divide {2 ** (self.depth - 1)}); use layout='nhwc'"
+            )
+        if self.layout in ("auto", "s2d") and self._supports_s2d(x.shape):
             logits_s2d, new_state, b0 = self._apply_s2d(
                 params, state, x, train=train, axis_name=axis_name, class_major=False
             )
@@ -143,21 +155,111 @@ class UNetPlusPlus:
             logits = B.out_conv_apply(params["outc"], nodes[(0, d - 1)], compute_dtype=cd)
         return logits.astype(jnp.float32), new_state
 
-    # -- s2d execution (same layout machinery as models/s2d_exec.py) ---------
+    # -- fused layout interface (engine/train, evaluate, predict use this) ---
     def supports_fused(self, x_shape) -> bool:
-        if self.bilinear or self.layout not in ("auto", "s2d"):
-            return False
-        if self.deep_supervision:
-            return False  # multiple heads; keep the NHWC path
-        if len(x_shape) == 3:
-            x_shape = (*x_shape, 1)
-        return x_shape[1] % 64 == 0 and x_shape[2] % 64 == 0
+        if self.layout in ("auto", "wide") and self._supports_wide(x_shape):
+            return True
+        return self.layout in ("auto", "s2d") and self._supports_s2d(x_shape)
 
     def apply_fused(self, params, state, x, *, train: bool = False, axis_name=None):
+        """Class-major packed logits + layout descriptor (as models/unet.py)."""
+        if self.layout in ("auto", "wide") and self._supports_wide(x.shape):
+            logits_cm, new_state, b0 = self._apply_wide(
+                params, state, x, train=train, axis_name=axis_name, class_major=True
+            )
+            return logits_cm, new_state, ("wide", b0)
         logits_cm, new_state, b0 = self._apply_s2d(
             params, state, x, train=train, axis_name=axis_name, class_major=True
         )
         return logits_cm, new_state, ("s2d", b0)
+
+    # -- wide (width-only blocked) execution: the default fast path ----------
+    def _supports_wide(self, x_shape) -> bool:
+        if len(x_shape) == 3:
+            x_shape = (*x_shape, 1)
+        h, w = x_shape[1], x_shape[2]
+        # symbolic dims (shape-polymorphic export) keep the NHWC path
+        if not (isinstance(h, int) and isinstance(w, int)):
+            return False
+        div = 2 ** (self.depth - 1)  # the pooling chain's own constraint
+        return h % div == 0 and w % div == 0
+
+    def _apply_wide(self, params, state, x, *, train, axis_name, class_major):
+        """UNet++ forward in the wide layout (ops/wide.py): every depth runs
+        width-blocked at bw = ~128/C and all node-to-node transitions are pure
+        reshapes, so the dense skip concats at depth 0 (C=16, the topology's
+        hot spot) stay lane-dense.  Exact vs _apply_nhwc (tests/test_wide.py);
+        supports bilinear and deep supervision (the s2d path does not)."""
+        from ..ops import wide as W
+        from .wide_exec import MAX_BW, _double_conv
+
+        if x.ndim == 3:
+            x = x[..., None]
+        d = self.depth
+        cd = self.compute_dtype
+        ckpt = (lambda f: jax.checkpoint(f)) if self.remat else (lambda f: f)
+        # actual widths from the params (checkpoints may differ from config)
+        w = [int(params[f"x{i}_0"]["conv2"]["w"].shape[-1]) for i in range(d)]
+        bws = [W.wide_block(c, MAX_BW) for c in w]
+        new_state = {}
+
+        def dc(name, t, bw):
+            fn = ckpt(lambda p, s, u: _double_conv(p, s, u, bw, train=train,
+                                                   cd=cd, axis_name=axis_name))
+            y, ns = fn(params[name], state[name] if state is not None else None, t)
+            new_state[name] = ns
+            return y
+
+        nodes = {(0, 0): dc("x0_0", W.pack(x, bws[0]), bws[0])}
+        for i in range(1, d):
+            cur = W.max_pool2_wide(nodes[(i - 1, 0)], bws[i - 1])
+            cur_bw = max(bws[i - 1] // 2, 1)
+            if cur_bw != bws[i]:
+                cur = W.reblock(cur, cur_bw, bws[i], w[i - 1])
+            nodes[(i, 0)] = dc(f"x{i}_0", cur, bws[i])
+
+        for j in range(1, d):
+            for i in range(d - j):
+                b = bws[i]
+                skips = [nodes[(i, k)] for k in range(j)]
+                src = nodes[(i + 1, j - 1)]
+                if self.bilinear:
+                    upped = W.upsample2_ac_wide(src, bws[i + 1])
+                    up_c = w[i + 1]
+                else:
+                    p_up = params[f"up{i}_{j}"]
+                    upped = W.conv_transpose2_wide(src, p_up["w"], bws[i + 1],
+                                                   p_up.get("b"), compute_dtype=cd)
+                    up_c = w[i]
+                up_bw = 2 * bws[i + 1]
+                if up_bw != b:
+                    upped = W.reblock(upped, up_bw, b, up_c)
+                feats = W.concat_wide(skips + [upped.astype(skips[0].dtype)], b,
+                                      [w[i]] * j + [up_c])
+                nodes[(i, j)] = dc(f"x{i}_{j}", feats, b)
+
+        b0 = bws[0]
+        head = W.conv1x1_wide_class_major if class_major else W.conv1x1_wide
+        if self.deep_supervision:
+            outs = [head(nodes[(0, j)], params[f"out{j}"]["w"], b0,
+                         params[f"out{j}"].get("b"), compute_dtype=cd)
+                    for j in range(1, d)]
+            logits = sum(outs) / len(outs)
+        else:
+            logits = head(nodes[(0, d - 1)], params["outc"]["w"], b0,
+                          params["outc"].get("b"), compute_dtype=cd)
+        return logits.astype(jnp.float32), new_state, b0
+
+    # -- s2d execution (same layout machinery as models/s2d_exec.py) ---------
+    def _supports_s2d(self, x_shape) -> bool:
+        if self.bilinear or self.deep_supervision:
+            return False
+        if len(x_shape) == 3:
+            x_shape = (*x_shape, 1)
+        h, w = x_shape[1], x_shape[2]
+        if not (isinstance(h, int) and isinstance(w, int)):
+            return False
+        return h % 64 == 0 and w % 64 == 0
 
     def _apply_s2d(self, params, state, x, *, train, axis_name, class_major):
         from ..ops import s2d as S
@@ -176,7 +278,7 @@ class UNetPlusPlus:
         def dc(name, t, b):
             fn = ckpt(lambda p, s, u: _double_conv(p, s, u, b, None, train=train,
                                                    cd=cd, axis_name=axis_name))
-            y, ns = fn(params[name], state[name], t)
+            y, ns = fn(params[name], state[name] if state is not None else None, t)
             new_state[name] = ns
             return y
 
