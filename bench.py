@@ -31,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 BASELINE_CACHE = Path(__file__).resolve().parent / ".bench_baseline.json"
 
 
-def bench_ours(hw, batch, n_steps, model_name="unet_s"):
+def bench_ours(hw, batch, n_steps, model_name="unet_s", bilinear=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -44,7 +44,7 @@ def bench_ours(hw, batch, n_steps, model_name="unet_s"):
     from unet_medical_image_contour_segmentation_tpu.losses.compound import LossConfig
     from unet_medical_image_contour_segmentation_tpu.models.unet import get_model
 
-    model = get_model(model_name, n_channels=1, n_classes=3, bilinear=False,
+    model = get_model(model_name, n_channels=1, n_classes=3, bilinear=bilinear,
                       compute_dtype=jnp.bfloat16)
     state = init_train_state(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -75,10 +75,24 @@ def bench_ours(hw, batch, n_steps, model_name="unet_s"):
 
     from unet_medical_image_contour_segmentation_tpu.engine.evaluate import eval_forward
 
+    # predict measures the production inference path: Predictor folds the BN
+    # affines into the conv weights by default (exact for eval mode).  Folded
+    # params are only consumed by the fused layouts, as in Predictor.
+    pred_params, pred_bn = state.params, state.bn_state
+    if hasattr(model, "supports_fused") and model.supports_fused(image.shape):
+        try:
+            from unet_medical_image_contour_segmentation_tpu.models.fold_bn import (
+                fold_params,
+            )
+
+            pred_params, pred_bn = fold_params(state.params, state.bn_state), None
+        except (KeyError, TypeError):
+            pass
+
     @jax.jit
     def predict_chain(x):
         def body(carry, _):
-            pred = eval_forward(model, 3, state.params, state.bn_state, carry)
+            pred = eval_forward(model, 3, pred_params, pred_bn, carry)
             # tiny feedback forces sequential execution of the chain
             nxt = carry + 1e-12 * pred.astype(carry.dtype)
             return nxt, ()
@@ -157,12 +171,14 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--model", default="unet_s")
+    parser.add_argument("--bilinear", action="store_true", default=False)
     parser.add_argument("--baseline-steps", type=int, default=3)
     parser.add_argument("--refresh-baseline", action="store_true")
     args = parser.parse_args()
     hw = (args.hw, args.hw)
 
-    train_sps, pred_sps = bench_ours(hw, args.batch, args.steps, args.model)
+    train_sps, pred_sps = bench_ours(hw, args.batch, args.steps, args.model,
+                                     args.bilinear)
     ours = combined(train_sps, pred_sps)
 
     # Logical-FLOP honesty: slices/s alone hides the MAC inflation of the s2d
@@ -174,7 +190,7 @@ def main():
             V5E_BF16_PEAK_FLOPS, unet_forward_flops,
         )
         from unet_medical_image_contour_segmentation_tpu.models.unet import get_model as _gm
-        _model = _gm(args.model, n_channels=1, n_classes=3, bilinear=False)
+        _model = _gm(args.model, n_channels=1, n_classes=3, bilinear=args.bilinear)
         if isinstance(_model, UNet):
             fwd = unet_forward_flops(_model, *hw)
             train_tfs = 3 * fwd * train_sps / 1e12   # fwd + dgrad + wgrad
