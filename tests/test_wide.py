@@ -82,6 +82,34 @@ class TestWideOps:
         np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-6, atol=1e-6)
 
+    @pytest.mark.parametrize(
+        "bw,stride,cin,cout,k",
+        [(8, 2, 1, 32, 3), (4, 2, 32, 64, 3), (2, 2, 64, 128, 3),
+         (8, 2, 16, 16, 3), (4, 4, 32, 32, 3)],
+    )
+    def test_conv_strided_exact(self, bw, stride, cin, cout, k):
+        x = jnp.asarray(_rand(2, 16, 32, cin, seed=30))
+        w = jnp.asarray(_rand(k, k, cin, cout, seed=31))
+        b = jnp.asarray(_rand(cout, seed=32))
+        want = conv2d(x, w, b, stride=stride, padding=k // 2)
+        got = W.unpack(W.conv_wide(W.pack(x, bw), w, bw, b, stride=stride),
+                       max(bw // stride, 1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_split_concat_roundtrip(self):
+        x = jnp.asarray(_rand(2, 8, 16, 48, seed=33))
+        packed = W.pack(x, 4)
+        parts = W.split_wide(packed, 4, [16, 32])
+        np.testing.assert_array_equal(
+            np.asarray(W.unpack(parts[0], 4)), np.asarray(x[..., :16])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(W.unpack(parts[1], 4)), np.asarray(x[..., 16:])
+        )
+        back = W.concat_wide(parts, 4, [16, 32])
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(packed))
+
     def test_pack_mask_roundtrip(self):
         m = jnp.asarray(np.random.default_rng(14).integers(0, 3, (2, 16, 32)))
         for blk in [("wide", 8), ("s2d", 4), ("wide", 1)]:
@@ -267,6 +295,70 @@ class TestWideModel:
         np.testing.assert_array_equal(
             np.asarray(pred_f), np.asarray(jnp.argmax(want, axis=-1))
         )
+
+    @pytest.mark.parametrize("train", [True, False])
+    def test_yolo_wide_matches_nhwc(self, train):
+        from unet_medical_image_contour_segmentation_tpu.models.yolov8_seg import (
+            yolov8_seg_s,
+        )
+
+        nhwc = yolov8_seg_s(1, 3, layout="nhwc")
+        wide = yolov8_seg_s(1, 3, layout="wide")
+        params, state = nhwc.init(jax.random.PRNGKey(10))
+        x = jnp.asarray(_rand(1, 64, 64, 1, seed=27))
+        want, ws = nhwc.apply(params, state, x, train=train)
+        got, gs = wide.apply(params, state, x, train=train)
+        # train-mode BN+SiLU chains accumulate a little more f32 reduction-
+        # order noise than the UNet family's BN+ReLU ones
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=5e-4)
+        for a, b in zip(jax.tree.leaves(ws), jax.tree.leaves(gs)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_yolo_fused_interface(self):
+        from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+            argmax_class_major,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.yolov8_seg import (
+            yolov8_seg_s,
+        )
+
+        model = yolov8_seg_s(1, 3)  # auto layout
+        params, state = model.init(jax.random.PRNGKey(11))
+        x = jnp.asarray(_rand(1, 64, 64, 1, seed=28))
+        assert model.supports_fused(x.shape)
+        assert not model.supports_fused((1, 60, 64, 1))
+        logits_cm, _, blk = model.apply_fused(params, state, x, train=False)
+        pred = W.unpack_pred(blk, argmax_class_major(logits_cm, 3))
+        logits, _ = model.apply(params, state, x, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(pred), np.asarray(jnp.argmax(logits, axis=-1))
+        )
+
+    def test_yolo_gradients_match(self):
+        from unet_medical_image_contour_segmentation_tpu.models.yolov8_seg import (
+            yolov8_seg_s,
+        )
+
+        nhwc = yolov8_seg_s(1, 3, layout="nhwc")
+        wide = yolov8_seg_s(1, 3, layout="wide")
+        params, state = nhwc.init(jax.random.PRNGKey(12))
+        x = jnp.asarray(_rand(1, 64, 64, 1, seed=29))
+
+        def loss(model):
+            def f(p):
+                logits, _ = model.apply(p, state, x, train=True)
+                return jnp.mean(jnp.square(logits))
+            return f
+
+        g1 = jax.grad(loss(nhwc))(params)
+        g2 = jax.grad(loss(wide))(params)
+        # per-leaf scale tolerance (see test_unetpp_gradients_match)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.max(np.abs(a)) + 1e-12
+            assert np.max(np.abs(a - b)) <= 2e-2 * scale + 1e-5
 
     def test_folded_params_wide(self):
         from unet_medical_image_contour_segmentation_tpu.models.fold_bn import (

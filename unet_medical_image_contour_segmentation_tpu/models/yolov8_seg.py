@@ -92,6 +92,60 @@ def _c2f(params, state, x, n, *, train, cd, axis_name):
     return y, new_state
 
 
+# -- wide-layout variants of the primitives (ops/wide.py; bw=1 == dense) -----
+
+def _cbs_w(params, state, x, bw, *, stride=1, train, cd, axis_name):
+    from ..ops import wide as W
+
+    y = W.conv_wide(x, params["conv"]["w"], bw, compute_dtype=cd, stride=stride)
+    bwo = max(bw // stride, 1)
+    if bwo == 1:
+        y, bn = batch_norm(
+            y, params["bn"]["scale"], params["bn"]["bias"],
+            state["bn"]["mean"], state["bn"]["var"], train=train, axis_name=axis_name,
+        )
+    else:
+        y, bn = W.batch_norm_wide(
+            y, params["bn"]["scale"], params["bn"]["bias"],
+            state["bn"]["mean"], state["bn"]["var"], bwo,
+            train=train, axis_name=axis_name,
+        )
+    y = (y.astype(jnp.float32) * jax.nn.sigmoid(y.astype(jnp.float32))).astype(y.dtype)
+    return y, {"bn": {"mean": bn[0], "var": bn[1]}}, bwo
+
+
+def _bottleneck_w(params, state, x, bw, *, train, cd, axis_name):
+    y, s1, _ = _cbs_w(params["cv1"], state["cv1"], x, bw, train=train, cd=cd,
+                      axis_name=axis_name)
+    y, s2, _ = _cbs_w(params["cv2"], state["cv2"], y, bw, train=train, cd=cd,
+                      axis_name=axis_name)
+    return x + y, {"cv1": s1, "cv2": s2}
+
+
+def _c2f_w(params, state, x, bw, n, *, train, cd, axis_name):
+    from ..ops import wide as W
+
+    new_state = {}
+    y, new_state["cv1"], _ = _cbs_w(params["cv1"], state["cv1"], x, bw,
+                                    train=train, cd=cd, axis_name=axis_name)
+    c = (y.shape[-1] // bw) // 2
+    parts = W.split_wide(y, bw, [c, c])
+    # the bottleneck chain works on half the channels: run it at ITS optimal
+    # block width (reblocks are pure reshapes)
+    bw_b = W.wide_block(c)
+    chain = W.reblock(parts[1], bw, bw_b, c)
+    for i in range(n):
+        chain, new_state[f"m{i}"] = _bottleneck_w(
+            params[f"m{i}"], state[f"m{i}"], chain, bw_b,
+            train=train, cd=cd, axis_name=axis_name,
+        )
+        parts.append(W.reblock(chain, bw_b, bw, c))
+    y = W.concat_wide(parts, bw, [c] * (2 + n))
+    y, new_state["cv2"], _ = _cbs_w(params["cv2"], state["cv2"], y, bw,
+                                    train=train, cd=cd, axis_name=axis_name)
+    return y, new_state
+
+
 def _init_sppf(key, c):
     k1, k2 = jax.random.split(key)
     p1, s1 = _init_cbs(k1, 1, c, c // 2)
@@ -137,6 +191,7 @@ class YOLOv8Seg:
     depths: Tuple[int, int, int, int] = (1, 2, 2, 1)
     remat: bool = False
     compute_dtype: Optional[jnp.dtype] = None
+    layout: str = "auto"  # "auto" | "nhwc" | "wide" (see _apply_wide)
     name: str = "yolov8_seg_s"
 
     def init(self, key):
@@ -167,6 +222,21 @@ class YOLOv8Seg:
     def apply(self, params, state, x, *, train: bool = False, axis_name=None):
         if x.ndim == 3:
             x = x[..., None]
+        if self.layout in ("auto", "wide") and self._supports_wide(x.shape):
+            from ..ops import wide as W
+
+            logits_w, new_state, bwf = self._apply_wide(
+                params, state, x, train=train, axis_name=axis_name, class_major=False
+            )
+            return W.unpack(logits_w, bwf), new_state
+        if self.layout == "wide":
+            raise ValueError(
+                f"wide layout unsupported for input {x.shape} "
+                f"(H, W must divide 32); use layout='nhwc'"
+            )
+        return self._apply_nhwc(params, state, x, train=train, axis_name=axis_name)
+
+    def _apply_nhwc(self, params, state, x, *, train: bool = False, axis_name=None):
         cd = self.compute_dtype
         d = self.depths
         NS = {}
@@ -205,6 +275,101 @@ class YOLOv8Seg:
         t = cbs("p_c3", t)
         logits = B.out_conv_apply(params["head"], t, compute_dtype=cd)
         return logits.astype(jnp.float32), NS
+
+    # -- wide (width-only blocked) execution: the default fast path ----------
+    def _supports_wide(self, x_shape) -> bool:
+        if len(x_shape) == 3:
+            x_shape = (*x_shape, 1)
+        h, w = x_shape[1], x_shape[2]
+        # symbolic dims (shape-polymorphic export) keep the NHWC path
+        if not (isinstance(h, int) and isinstance(w, int)):
+            return False
+        return h % 32 == 0 and w % 32 == 0  # the /32 stride chain's constraint
+
+    def supports_fused(self, x_shape) -> bool:
+        return self.layout in ("auto", "wide") and self._supports_wide(x_shape)
+
+    def apply_fused(self, params, state, x, *, train: bool = False, axis_name=None):
+        """Class-major packed logits + layout descriptor (as models/unet.py)."""
+        logits_cm, new_state, bwf = self._apply_wide(
+            params, state, x, train=train, axis_name=axis_name, class_major=True
+        )
+        return logits_cm, new_state, ("wide", bwf)
+
+    def _apply_wide(self, params, state, x, *, train, axis_name, class_major):
+        """Forward in the wide layout (ops/wide.py), exact vs _apply_nhwc.
+
+        The sub-128-channel tensors (stem 32ch @ H/2, C2f0 64ch @ H/4, and
+        the whole proto head: 64ch @ H/4 up to 32ch @ H) run width-blocked at
+        bw = ~128/C; the stride-2 downsample convs narrow the block in place
+        (conv_wide stride=2), so every transition is a pure reshape.  Deep
+        levels (C >= 128) have bw == 1, where the wide ops degenerate to the
+        dense NHWC ops.
+        """
+        from ..ops import wide as W
+
+        if x.ndim == 3:
+            x = x[..., None]
+        cd = self.compute_dtype
+        d = self.depths
+        NS = {}
+        kw = dict(train=train, cd=cd, axis_name=axis_name)
+
+        def cbs(name, t, bw, stride=1):
+            y, NS[name], bwo = _cbs_w(params[name], state[name], t, bw,
+                                      stride=stride, **kw)
+            return y, bwo
+
+        def c2f(name, t, bw, n):
+            y, NS[name] = _c2f_w(params[name], state[name], t, bw, n, **kw)
+            return y
+
+        # backbone; the stem reads the (C=1) input at the widest block the
+        # stride-2 conv can narrow into the C=32 level's bw=4
+        y, bw = cbs("stem", W.pack(x, 8), 8, stride=2)          # /2, 32ch, bw4
+        feats = {}
+        for i in range(4):
+            y, bw = cbs(f"down{i}", y, bw, stride=2)            # /4 /8 /16 /32
+            c_i = y.shape[-1] // bw
+            bw_opt = W.wide_block(c_i)  # re-optimal for non-default widths
+            if bw != bw_opt:
+                y = W.reblock(y, bw, bw_opt, c_i)
+                bw = bw_opt
+            y = c2f(f"c2f{i}", y, bw, d[i])
+            feats[i] = W.unpack(y, bw)  # neck runs dense; no-op at bw 1
+        if bw != 1:
+            y = W.unpack(y, bw)
+            bw = 1
+        y, NS["sppf"] = _sppf(params["sppf"], state["sppf"], y, **kw)   # P5 /32
+
+        # FPN top-down (all bw == 1: plain dense ops)
+        up = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)  # nearest x2
+        p4 = c2f("n4", jnp.concatenate([up(y), feats[2]], axis=-1), 1, d[2])   # /16
+        p3 = c2f("n3", jnp.concatenate([up(p4), feats[1]], axis=-1), 1, d[1])  # /8
+
+        # proto head back to full resolution; each ConvT doubles the block,
+        # reblocked (free reshape) to the level's ~128/C optimum
+        def up_conv(name, t, bw, c_out):
+            t = W.conv_transpose2_wide(t, params[name]["w"], bw,
+                                       params[name].get("b"), compute_dtype=cd)
+            bw2 = 2 * bw
+            bw_opt = W.wide_block(c_out)
+            if bw2 != bw_opt:
+                t = W.reblock(t, bw2, bw_opt, c_out)
+                bw2 = bw_opt
+            return t, bw2
+
+        c = int(params["p_c1"]["conv"]["w"].shape[-1]) * 2  # widths from params
+        t, bw = up_conv("p_up1", p3, 1, c // 2)                          # /4
+        t, bw = cbs("p_c1", t, bw)
+        t, bw = up_conv("p_up2", t, bw, c // 4)                          # /2
+        t, bw = cbs("p_c2", t, bw)
+        t, bw = up_conv("p_up3", t, bw, c // 4)                          # /1
+        t, bw = cbs("p_c3", t, bw)
+        head = W.conv1x1_wide_class_major if class_major else W.conv1x1_wide
+        logits = head(t, params["head"]["w"], bw, params["head"].get("b"),
+                      compute_dtype=cd)
+        return logits.astype(jnp.float32), NS, bw
 
 
 def yolov8_seg_s(n_channels=1, n_classes=1, **kw) -> YOLOv8Seg:

@@ -49,6 +49,7 @@ __all__ = [
     "upsample2_ac_wide",
     "batch_norm_wide",
     "concat_wide",
+    "split_wide",
 ]
 
 
@@ -98,31 +99,38 @@ def reblock(x: jnp.ndarray, bw_from: int, bw_to: int, c: int) -> jnp.ndarray:
 # -- convolution ----------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _scatter_map_wide(k: int, bw: int) -> Tuple[np.ndarray, int]:
+def _scatter_map_wide(k: int, bw: int, stride: int = 1) -> Tuple[np.ndarray, int, int]:
     """Static scatter for a k x k SAME conv: width taps -> block-lane taps.
 
-    Returns (map, R): map[Rj, dxi, dxo, v] in {0,1}, R = W-block kernel
-    extent.  Nonzero iff input pixel (block Rj - cen, intra dxi) at width tap
-    v feeds output intra-pixel dxo: dxo + v - p == (Rj - cen)*bw + dxi.
+    Returns (map, cen, R): map[Rj, dxi, dxo, v] in {0,1}, R = W-block kernel
+    extent, cen = index of the aligned (zero-offset) block.  Nonzero iff
+    input pixel (block Rj - cen, intra dxi) at width tap v feeds output
+    intra-pixel dxo: stride*dxo + v - p == (Rj - cen)*bw + dxi.
+
+    With stride > 1 the output block narrows to bw//stride intra-pixels but
+    the BLOCK GRID COUNT is preserved (output width = W/stride), so the
+    block-space conv always runs W-stride 1.
     """
     p = k // 2
+    bwo = bw // stride
     cen = math.ceil(p / bw)
-    R = 2 * cen + 1
-    m = np.zeros((R, bw, bw, k), np.float32)
-    for dxo in range(bw):
+    hi = (stride * (bwo - 1) + (k - 1) - p) // bw
+    R = cen + hi + 1
+    m = np.zeros((R, bw, bwo, k), np.float32)
+    for dxo in range(bwo):
         for v in range(k):
-            t = dxo + v - p
+            t = stride * dxo + v - p
             m[cen + (t // bw), t % bw, dxo, v] = 1.0
-    return m, R
+    return m, cen, R
 
 
-def _scatter_kernel_wide(w: jnp.ndarray, bw: int) -> Tuple[jnp.ndarray, int]:
-    """(k, k, Cin, Cout) -> (k, R, bw*Cin, bw*Cout) block-space kernel."""
+def _scatter_kernel_wide(w: jnp.ndarray, bw: int, stride: int = 1):
+    """(k, k, Cin, Cout) -> ((k, R, bw*Cin, (bw//stride)*Cout), cen, R)."""
     k = w.shape[0]
     cin, cout = w.shape[2], w.shape[3]
-    m, R = _scatter_map_wide(k, bw)
+    m, cen, R = _scatter_map_wide(k, bw, stride)
     ws = jnp.einsum("Rixv,uvco->uRicxo", jnp.asarray(m, w.dtype), w)
-    return ws.reshape(k, R, bw * cin, bw * cout), R
+    return ws.reshape(k, R, bw * cin, (bw // stride) * cout), cen, R
 
 
 def conv_wide(
@@ -131,26 +139,33 @@ def conv_wide(
     bw: int,
     bias: Optional[jnp.ndarray] = None,
     compute_dtype=None,
+    stride: int = 1,
 ) -> jnp.ndarray:
-    """k x k stride-1 SAME conv on a wide-bw tensor; exact NHWC equivalent.
+    """k x k SAME conv on a wide-bw tensor; exact NHWC equivalent.
 
-    x: (B, H, W/bw, bw*Cin); w: (k, k, Cin, Cout) -> (B, H, W/bw, bw*Cout).
+    x: (B, H, W/bw, bw*Cin); w: (k, k, Cin, Cout) -> (B, H/stride, W/bw,
+    (bw/stride)*Cout).  Stride 1 preserves the block; stride s narrows the
+    intra-block width to bw/s (requires bw % s == 0 for bw > 1), keeping the
+    block grid count — the output is wide-(bw/s) at W/s resolution.
     """
     if bw == 1:
         from .nn import conv2d
 
-        return conv2d(x, w, bias, padding=w.shape[0] // 2, compute_dtype=compute_dtype)
+        return conv2d(x, w, bias, stride=stride, padding=w.shape[0] // 2,
+                      compute_dtype=compute_dtype)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    ws, R = _scatter_kernel_wide(w, bw)
+    assert bw % stride == 0, f"stride {stride} must divide block width {bw}"
+    ws, cen, R = _scatter_kernel_wide(w, bw, stride)
     k = w.shape[0]
     dn = lax.conv_dimension_numbers(x.shape, ws.shape, ("NHWC", "HWIO", "NHWC"))
     y = lax.conv_general_dilated(
-        x, ws, (1, 1), [(k // 2, k // 2), (R // 2, R // 2)], dimension_numbers=dn
+        x, ws, (stride, 1), [(k // 2, k // 2), (cen, R - 1 - cen)],
+        dimension_numbers=dn,
     )
     if bias is not None:
-        y = y + jnp.tile(bias, bw).astype(y.dtype)
+        y = y + jnp.tile(bias, bw // stride).astype(y.dtype)
     return y
 
 
@@ -266,6 +281,16 @@ def concat_wide(xs, bw: int, channels) -> jnp.ndarray:
     parts = [x.reshape(*x.shape[:-1], bw, c) for x, c in zip(xs, channels)]
     y = jnp.concatenate(parts, axis=-1)
     return y.reshape(*y.shape[:-2], bw * sum(channels))
+
+
+def split_wide(x: jnp.ndarray, bw: int, channels) -> list:
+    """Channel-split of a wide tensor (inverse of concat_wide)."""
+    xg = x.reshape(*x.shape[:-1], bw, x.shape[-1] // bw)
+    out, at = [], 0
+    for c in channels:
+        out.append(xg[..., at:at + c].reshape(*x.shape[:-1], bw * c))
+        at += c
+    return out
 
 
 # -- fused-path layout descriptors -------------------------------------------------
