@@ -187,12 +187,15 @@ def main():
     try:
         from unet_medical_image_contour_segmentation_tpu.models.unet import UNet
         from unet_medical_image_contour_segmentation_tpu.utils.flops import (
-            V5E_BF16_PEAK_FLOPS, unet_forward_flops,
+            V5E_BF16_PEAK_FLOPS, hlo_forward_flops, unet_forward_flops,
         )
         from unet_medical_image_contour_segmentation_tpu.models.unet import get_model as _gm
         _model = _gm(args.model, n_channels=1, n_classes=3, bilinear=args.bilinear)
         if isinstance(_model, UNet):
             fwd = unet_forward_flops(_model, *hw)
+        else:  # UNet++ / YOLOv8-seg: XLA HLO cost analysis of the NHWC forward
+            fwd = hlo_forward_flops(_model, *hw)
+        if fwd:
             train_tfs = 3 * fwd * train_sps / 1e12   # fwd + dgrad + wgrad
             pred_tfs = fwd * pred_sps / 1e12
             flops_fields = {

@@ -144,3 +144,41 @@ class TestYOLOv8Seg:
             losses.append(float(m["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestFlopsAccounting:
+    """bench.py's MFU fields rely on these counts."""
+
+    def test_hlo_matches_analytic_for_unet(self):
+        from unet_medical_image_contour_segmentation_tpu.models.unet import get_model
+        from unet_medical_image_contour_segmentation_tpu.utils.flops import (
+            hlo_forward_flops, unet_forward_flops,
+        )
+
+        m = get_model("unet_s", n_channels=1, n_classes=3)
+        analytic = unet_forward_flops(m, 128, 128)
+        hlo = hlo_forward_flops(m, 128, 128)
+        assert hlo is not None
+        # HLO counts convs identically; small delta from elementwise ops and
+        # the transpose-conv convention.
+        assert abs(hlo - analytic) / analytic < 0.05
+
+    def test_hlo_covers_nested_and_yolo(self):
+        from unet_medical_image_contour_segmentation_tpu.models.unet import get_model
+        from unet_medical_image_contour_segmentation_tpu.utils.flops import (
+            hlo_forward_flops,
+        )
+
+        pp = hlo_forward_flops(get_model("unet_pp_s", n_channels=1, n_classes=3),
+                               128, 128)
+        yolo = hlo_forward_flops(get_model("yolov8_seg_s", n_channels=1,
+                                           n_classes=3), 128, 128)
+        assert pp is not None and yolo is not None
+        # UNet++'s nested skips cost more than double the plain unet_s
+        from unet_medical_image_contour_segmentation_tpu.utils.flops import (
+            unet_forward_flops,
+        )
+        us = unet_forward_flops(get_model("unet_s", n_channels=1, n_classes=3),
+                                128, 128)
+        assert pp > 2 * us
+        assert yolo > 0

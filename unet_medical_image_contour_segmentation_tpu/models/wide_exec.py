@@ -77,7 +77,18 @@ def _double_conv(params, state, x, bw, *, train, cd, axis_name):
 
 
 def _attention(params, x, bw, c, *, cd):
-    """SpatialAttention on a wide-bw skip tensor (exact reference semantics)."""
+    """SpatialAttention on a wide-bw skip tensor (exact reference semantics).
+
+    Deliberately written as the naive rank-5 grouped reduce + broadcast
+    multiply.  A lane-space rewrite (channel mean as an MXU matmul with f32
+    accumulation, max on bf16 — exact since max commutes with the monotone
+    cast, broadcast as a 0/1 matmul) measured 25-40%% faster in ISOLATION
+    (fwd+vjp 3.90 -> 2.29 ms at the C=16 level) but 7%% SLOWER in the full
+    unet_sa train step (32.5 -> 34.8 ms, interleaved same-process A/B):
+    the rank-5 elementwise pipeline fuses into the surrounding BN/ReLU
+    producers and concat/conv consumers, and the dot_generals break those
+    fusions.  Same lesson as the round-1 Pallas im2col conv — see CLAUDE.md.
+    """
     xg = x.astype(jnp.float32).reshape(*x.shape[:-1], bw, c)
     avg = jnp.mean(xg, axis=-1)
     mx = jnp.max(xg, axis=-1)

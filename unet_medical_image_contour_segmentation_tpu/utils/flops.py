@@ -14,7 +14,7 @@ one wgrad pass per conv), so a train step is ~3x the forward FLOPs.
 
 from __future__ import annotations
 
-__all__ = ["unet_forward_flops", "V5E_BF16_PEAK_FLOPS"]
+__all__ = ["unet_forward_flops", "hlo_forward_flops", "V5E_BF16_PEAK_FLOPS"]
 
 # One v5e chip: 197 TF/s bf16 (public spec).
 V5E_BF16_PEAK_FLOPS = 197e12
@@ -22,6 +22,46 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 def _conv(h, w, k, cin, cout):
     return 2 * h * w * k * k * cin * cout
+
+
+def hlo_forward_flops(model, h: int, w: int):
+    """Logical forward FLOPs for any model via XLA's HLO cost analysis.
+
+    Lowers the dense-NHWC eval forward at batch 1 (no compile) and reads the
+    HLO-level FLOP estimate, which counts convolutions at their logical cost
+    (2*HW*k²*cin*cout) independent of the execution layout — the wide/s2d
+    layouts would report their inflated physical MACs, so the model is forced
+    to ``layout='nhwc'`` first.  Returns None if cost analysis is unavailable.
+    Covers UNet++ and YOLOv8-seg, whose nested/CSP topologies have no
+    closed-form in ``unet_forward_flops``.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    if getattr(model, "layout", "nhwc") != "nhwc":
+        model = dataclasses.replace(model, layout="nhwc")
+
+    try:
+        # Pin to the CPU backend: in a TPU process, init/lower on the remote
+        # 'axon' backend is minutes-slow, and its cost analysis is
+        # unavailable; CPU lowering is seconds and HLO flops are identical.
+        with jax.default_device(jax.devices("cpu")[0]):
+            params, state = model.init(jax.random.PRNGKey(0))
+            x = jnp.zeros((1, h, w), jnp.float32) if model.n_channels == 1 \
+                else jnp.zeros((1, h, w, model.n_channels), jnp.float32)
+
+            def fwd(p, t):
+                out = model.apply(p, state, t, train=False)
+                return out[0] if isinstance(out, tuple) else out
+
+            analysis = jax.jit(fwd).lower(params, x).cost_analysis()
+    except Exception:
+        return None
+    if not analysis or "flops" not in analysis:
+        return None
+    return int(analysis["flops"])
 
 
 def unet_forward_flops(model, h: int, w: int) -> int:
