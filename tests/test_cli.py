@@ -115,3 +115,39 @@ def test_export_cli(tmp_path, checkpoint):
     )
     assert r.returncode == 0, (r.stderr or "")[-2000:]
     assert out.exists() and out.stat().st_size > 1000
+
+
+class TestBenchSweep:
+    def test_parse_config(self):
+        import importlib.util
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "sweep", Path(__file__).parent.parent / "benchmarks" / "sweep.py"
+        )
+        sweep = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(sweep)
+
+        name, argv = sweep.parse_config("unet_s")
+        assert name == "unet_s" and argv == ["--model", "unet_s"]
+        name, argv = sweep.parse_config("unet_s:bilinear")
+        assert "--bilinear" in argv
+        name, argv = sweep.parse_config("unet_s:hw=1024,batch=2")
+        assert argv == ["--model", "unet_s", "--hw", "1024", "--batch", "2"]
+
+    def test_render_table(self):
+        import importlib.util
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "sweep", Path(__file__).parent.parent / "benchmarks" / "sweep.py"
+        )
+        sweep = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(sweep)
+
+        md = sweep.render_table([
+            {"config": "unet_s", "value": 440.0, "predict_slices_per_s": 778.0,
+             "train_slices_per_s": 307.0, "vs_baseline": 676.0,
+             "fwd_gflops_per_slice": 24.13, "train_mfu_pct": 11.3},
+        ])
+        assert "| unet_s | 440.0 | 778.0 / 307.0 | 676.0x | 24.13 | 11.3% |" in md
