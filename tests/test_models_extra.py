@@ -98,6 +98,86 @@ class TestSpatialParallel:
         assert agree > 0.99, f"tiled/full agreement {agree}"
 
 
+    def test_gspmd_spatial_train_step_matches_single_device(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.optim import RMSpropConfig
+        from unet_medical_image_contour_segmentation_tpu.engine.train import (
+            init_train_state, make_train_step,
+        )
+        from unet_medical_image_contour_segmentation_tpu.losses.compound import LossConfig
+        from unet_medical_image_contour_segmentation_tpu.parallel import (
+            make_spatial_mesh, make_spatial_train_step,
+        )
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >=4 virtual devices")
+        model = unet_t(1, 3)
+        loss_cfg = LossConfig(n_classes=3, boundary_edge_width=8)
+        opt_cfg = RMSpropConfig(learning_rate=1e-3)
+        state = init_train_state(model, jax.random.PRNGKey(0), opt_cfg)
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(rng.random((2, 64, 64, 1), np.float32)),
+            "mask": jnp.asarray(rng.integers(0, 3, (2, 64, 64)).astype(np.int32)),
+        }
+
+        ref_step = jax.jit(make_train_step(model, loss_cfg, opt_cfg, 1.0))
+        ref_state, ref_m = ref_step(state, batch, 1e-3)
+
+        mesh = make_spatial_mesh(4)
+        sp_step = make_spatial_train_step(model, loss_cfg, opt_cfg, mesh, 1.0)
+        sp_state, sp_m = sp_step(state, batch, 1e-3)
+
+        np.testing.assert_allclose(float(sp_m["loss"]), float(ref_m["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+        # RMSprop's 1/sqrt(v) amplifies reduction-order noise at step 1,
+        # so params get an absolute tolerance above the ~6e-5 observed drift.
+        for a, b in zip(jax.tree_util.tree_leaves(sp_state.params),
+                        jax.tree_util.tree_leaves(ref_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=2e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(sp_state.bn_state),
+                        jax.tree_util.tree_leaves(ref_state.bn_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_gspmd_dp_spatial_2d_mesh_train_step(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.optim import RMSpropConfig
+        from unet_medical_image_contour_segmentation_tpu.engine.train import (
+            init_train_state, make_train_step,
+        )
+        from unet_medical_image_contour_segmentation_tpu.losses.compound import LossConfig
+        from unet_medical_image_contour_segmentation_tpu.parallel import (
+            make_dp_spatial_mesh, make_spatial_train_step,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs >=8 virtual devices")
+        model = unet_t(1, 3)
+        loss_cfg = LossConfig(n_classes=3, boundary_edge_width=8)
+        opt_cfg = RMSpropConfig(learning_rate=1e-3)
+        state = init_train_state(model, jax.random.PRNGKey(1), opt_cfg)
+        rng = np.random.default_rng(1)
+        batch = {
+            "image": jnp.asarray(rng.random((4, 64, 64, 1), np.float32)),
+            "mask": jnp.asarray(rng.integers(0, 3, (4, 64, 64)).astype(np.int32)),
+        }
+
+        ref_step = jax.jit(make_train_step(model, loss_cfg, opt_cfg, 1.0))
+        ref_state, ref_m = ref_step(state, batch, 1e-3)
+
+        mesh = make_dp_spatial_mesh(4, 2)
+        step = make_spatial_train_step(model, loss_cfg, opt_cfg, mesh, 1.0)
+        got_state, got_m = step(state, batch, 1e-3)
+
+        np.testing.assert_allclose(float(got_m["loss"]), float(ref_m["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(got_state.params),
+                        jax.tree_util.tree_leaves(ref_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=2e-4)
+
+
+
 class TestYOLOv8Seg:
     def test_forward_shapes(self):
         from unet_medical_image_contour_segmentation_tpu.models.yolov8_seg import (

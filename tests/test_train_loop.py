@@ -70,6 +70,17 @@ def test_train_model_data_parallel(data_root, tmp_path, monkeypatch):
     assert int(state.step) == 4  # 8 samples / batch 2, one epoch
 
 
+def test_train_model_dp_spatial(data_root, tmp_path, monkeypatch):
+    """--spatial-shards: 2-D (data, spatial) GSPMD mesh end-to-end."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(data_root, tmp_path, num_devices=4, spatial_shards=2, epochs=1,
+               save_val_predictions=False, save_checkpoint=False)
+    state = train_model(cfg)
+    assert int(state.step) == 4  # 8 samples / batch 2, one epoch
+
+
 def test_train_model_resume_from_pth(data_root, tmp_path, monkeypatch, reference_path):
     """--load compat: resume from a reference-format .pth checkpoint."""
     import jax.numpy as jnp

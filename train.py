@@ -40,6 +40,9 @@ def get_args():
     parser.add_argument("--data-root", default="data/data-without-black-shadow")
     parser.add_argument("--num-devices", type=int, default=None,
                         help="Data-parallel device count (default: single device)")
+    parser.add_argument("--spatial-shards", type=int, default=1,
+                        help="Shard image rows over this many devices (2-D "
+                             "data x spatial GSPMD mesh) for very large scans")
     parser.add_argument("--remat", action="store_true", default=False,
                         help="Rematerialize blocks (activation checkpointing)")
     parser.add_argument("--no-scheduler-quirk", dest="scheduler_quirk", action="store_false",
@@ -93,6 +96,7 @@ def main():
         amp=args.amp,
         scheduler_quirk=args.scheduler_quirk,
         num_devices=args.num_devices,
+        spatial_shards=args.spatial_shards,
         load=args.load or None,
         save_val_predictions=args.save_val_predictions,
         val_postprocess=args.val_postprocess,

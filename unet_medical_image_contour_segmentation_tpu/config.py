@@ -57,6 +57,10 @@ class TrainConfig:
     save_val_predictions: bool = True
     # parallelism
     num_devices: Optional[int] = None      # None -> all local devices
+    spatial_shards: int = 1                # >1: shard image rows over a 2-D
+                                           # (data, spatial) GSPMD mesh — for
+                                           # scans whose activations exceed a
+                                           # chip (parallel/spatial.py)
     # misc
     seed: int = 0
     log_every: int = 10

@@ -192,7 +192,34 @@ def train_model(
         state = init_train_state(model, jax.random.PRNGKey(cfg.seed), opt_cfg)
 
     batch_sharding_ = None
-    if n_dev > 1:
+    if n_dev > 1 and cfg.spatial_shards > 1:
+        # 2-D (data, spatial) GSPMD mesh: batch over dp, image rows over sp
+        # with XLA-inserted conv halo exchanges — for scans whose activation
+        # footprint exceeds one chip.  Numerically the global-batch step
+        # (parallel/spatial.py:make_spatial_train_step).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_dp_spatial_mesh, make_spatial_train_step
+        from ..parallel.spatial import DATA_AXIS, SPATIAL_AXIS
+
+        sp = cfg.spatial_shards
+        if n_dev % sp:
+            raise ValueError(
+                f"num_devices {n_dev} must be divisible by "
+                f"spatial_shards {sp}"
+            )
+        dp = n_dev // sp
+        if dp > 1 and cfg.batch_size % dp:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by the "
+                f"data-parallel degree {dp} (= num_devices/spatial_shards)"
+            )
+        mesh = make_dp_spatial_mesh(dp, sp)
+        step_fn = make_spatial_train_step(
+            model, loss_cfg, opt_cfg, mesh, cfg.gradient_clipping
+        )
+        batch_sharding_ = NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+    elif n_dev > 1:
         # data-parallel: batch sharded over a 1-D mesh, cross-replica BN,
         # global-batch loss reductions (numerically == single device)
         from ..parallel import (

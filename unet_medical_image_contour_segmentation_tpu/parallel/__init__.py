@@ -6,7 +6,13 @@ from .data_parallel import (
     replicate,
 )
 from .distributed import initialize as distributed_initialize, is_multi_host, local_batch_slice
-from .spatial import make_spatial_forward, make_spatial_mesh, tiled_inference
+from .spatial import (
+    make_dp_spatial_mesh,
+    make_spatial_forward,
+    make_spatial_mesh,
+    make_spatial_train_step,
+    tiled_inference,
+)
 
 __all__ = [
     "batch_sharding",
@@ -17,7 +23,9 @@ __all__ = [
     "distributed_initialize",
     "is_multi_host",
     "local_batch_slice",
+    "make_dp_spatial_mesh",
     "make_spatial_forward",
     "make_spatial_mesh",
+    "make_spatial_train_step",
     "tiled_inference",
 ]

@@ -26,9 +26,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_spatial_mesh", "make_spatial_forward", "tiled_inference"]
+__all__ = [
+    "make_spatial_mesh",
+    "make_dp_spatial_mesh",
+    "make_spatial_forward",
+    "make_spatial_train_step",
+    "tiled_inference",
+]
 
 SPATIAL_AXIS = "sp"
+DATA_AXIS = "data"
 
 
 def make_spatial_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -36,6 +43,21 @@ def make_spatial_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (SPATIAL_AXIS,))
+
+
+def make_dp_spatial_mesh(dp: int, sp: int, devices=None) -> Mesh:
+    """2-D (data, spatial) mesh: batch shards over ``dp``, image H over ``sp``.
+
+    The composition for large-scan training: e.g. on a 4x2 slice, 4-way batch
+    parallelism with each image's rows split over 2 chips — halving the
+    per-chip activation footprint of a 1024x1024+ scan while keeping the
+    global-batch numerics (XLA turns every loss/BN/grad reduction into a
+    collective over both axes).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    assert dp * sp <= len(devices), f"need {dp * sp} devices, have {len(devices)}"
+    grid = np.asarray(devices[: dp * sp]).reshape(dp, sp)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
 
 
 def make_spatial_forward(model, mesh: Mesh):
@@ -55,6 +77,41 @@ def make_spatial_forward(model, mesh: Mesh):
         fwd,
         in_shardings=(repl, repl, spatial),
         out_shardings=spatial,
+    )
+
+
+def make_spatial_train_step(model, loss_cfg, opt_cfg, mesh: Mesh,
+                            clipping: float = 1.0):
+    """jitted (state, batch, lr) -> (state', metrics) with the image H axis
+    sharded over ``mesh``'s spatial axis (and the batch axis over its data
+    axis, if the mesh has one).
+
+    This is the GSPMD counterpart of ``data_parallel.make_parallel_train_step``
+    (which uses shard_map + explicit psums): the *single-device* train step
+    (engine/train.py:make_train_step) is jitted with sharding constraints and
+    XLA's SPMD partitioner does the rest — halo exchanges for every conv/pool/
+    upsample window crossing a shard boundary, and global collectives for the
+    BN batch statistics, the loss reductions, and the gradient sums.  The
+    result is numerically the single-device global-batch step (reduction
+    order aside; tested to 1e-5 on a CPU mesh).
+
+    Use it when one image's activations exceed a chip (1024x1024+ training —
+    the reference can only resize such scans, SURVEY.md §5 "long-context
+    analogue"); for plain batch scaling prefer the shard_map path, which
+    avoids re-partitioning analysis at compile time.
+    """
+    from ..engine.train import make_train_step
+
+    step_fn = make_train_step(model, loss_cfg, opt_cfg, clipping, axis_name=None)
+    axes = mesh.axis_names
+    batch_axis = DATA_AXIS if DATA_AXIS in axes else None
+    repl = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(batch_axis, SPATIAL_AXIS))
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, {"image": sharded, "mask": sharded}, repl),
+        out_shardings=(repl, repl),
     )
 
 
