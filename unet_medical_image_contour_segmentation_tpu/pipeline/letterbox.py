@@ -97,7 +97,7 @@ class PngNormalizer:
                     w, h = img.size
                     self.original_sizes[p.name] = {"width": w, "height": h}
                     out = normalize_image(img, self.target_size)
-                    out.save(self.output_path / p.name, "PNG", compress_level=9)
+                    out.save(self.output_path / p.name, "PNG", compress_level=1)
                 ok += 1
             except Exception:
                 log.exception("Failed to normalize %s", p.name)
@@ -159,7 +159,7 @@ class PngDenormalizer:
                 size = self.original_sizes[p.name]
                 with Image.open(p) as img:
                     out = denormalize_image(img, size["width"], size["height"], self.target_size)
-                    out.save(self.output_path / p.name, "PNG", compress_level=9)
+                    out.save(self.output_path / p.name, "PNG", compress_level=1)
                 ok += 1
             except Exception:
                 log.exception("Failed to denormalize %s", p.name)
