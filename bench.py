@@ -107,19 +107,30 @@ def bench_ours(hw, batch, n_steps, model_name="unet_s", bilinear=False):
     return batch / t_train, batch / t_pred
 
 
-def bench_torch_baseline(hw, batch, n_steps, reference_dir="/root/reference"):
-    """Reference UNet_S on torch-CPU, same workload.  Returns (train_sps, pred_sps)."""
+def bench_torch_baseline(hw, batch, n_steps, model_name="unet_s", bilinear=False,
+                         reference_dir="/root/reference"):
+    """The MATCHING reference model on torch-CPU, same workload.
+
+    Returns (train_sps, pred_sps), or None when the reference has no runnable
+    counterpart: unet_pp*/yolov8* are imported by the reference's train.py but
+    their modules are absent from the repo (SURVEY.md §2.1) — those configs
+    report vs_baseline null rather than a cross-architecture ratio.
+    """
     if not os.path.isdir(reference_dir):
         return None
     sys.path.insert(0, reference_dir)
     import numpy as np
     import torch
     import torch.nn.functional as F
-    from unet.unet_model import UNet_S
+    from unet.unet_model import UNet, UNet_S, UNet_SA, UNet_T
     from utils.dice_score import dice_loss
 
+    ref_models = {"unet": UNet, "unet_t": UNet_T, "unet_s": UNet_S,
+                  "unet_sa": UNet_SA}
+    if model_name not in ref_models:
+        return None
     torch.manual_seed(0)
-    model = UNet_S(n_channels=1, n_classes=3, bilinear=False)
+    model = ref_models[model_name](n_channels=1, n_classes=3, bilinear=bilinear)
     model = model.to(memory_format=torch.channels_last)
     opt = torch.optim.RMSprop(model.parameters(), lr=1e-5, weight_decay=1e-8,
                               momentum=0.999, foreach=True)
@@ -208,12 +219,19 @@ def main():
     except Exception:
         pass
 
-    key = f"{args.hw}x{args.hw}_b{args.batch}"
+    # Baseline cache is keyed per model/variant so vs_baseline always compares
+    # like against like.  unet_s keeps its legacy size-only key readable.
+    variant = args.model + ("_bilinear" if args.bilinear else "")
+    key = f"{variant}_{args.hw}x{args.hw}_b{args.batch}"
+    legacy_key = f"{args.hw}x{args.hw}_b{args.batch}"
     cache = {}
     if BASELINE_CACHE.exists():
         cache = json.loads(BASELINE_CACHE.read_text())
+    if variant == "unet_s" and key not in cache and legacy_key in cache:
+        key = legacy_key
     if key not in cache or args.refresh_baseline:
-        base = bench_torch_baseline(hw, args.batch, args.baseline_steps)
+        base = bench_torch_baseline(hw, args.batch, args.baseline_steps,
+                                    args.model, args.bilinear)
         if base is not None:
             cache[key] = {
                 "train_sps": base[0],

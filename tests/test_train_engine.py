@@ -270,3 +270,47 @@ def test_async_checkpoint_and_latest(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(ck["params"])):
         np.testing.assert_array_equal(np.asarray(a), b)
     assert latest_checkpoint(str(tmp_path / "empty")) is None
+
+
+def test_load_pth_unwraps_checkpoint_dict(tmp_path):
+    """A {'state_dict': ...} training-checkpoint wrapper loads transparently."""
+    torch = pytest.importorskip("torch")
+    from unet_medical_image_contour_segmentation_tpu.models.torch_compat import (
+        load_pth, state_dict_from_params,
+    )
+
+    model = unet_t(1, 3)
+    params, bn = model.init(jax.random.PRNGKey(3))
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in state_dict_from_params(params, bn).items()}
+    path = str(tmp_path / "wrapped.pth")
+    torch.save({"state_dict": sd, "epoch": 4}, path)
+
+    got_params, got_bn, _ = load_pth(path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(got_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+def test_load_pth_rejects_garbage(tmp_path):
+    pytest.importorskip("torch")
+    from unet_medical_image_contour_segmentation_tpu.models.torch_compat import load_pth
+
+    path = str(tmp_path / "junk.pth")
+    with open(path, "wb") as f:
+        f.write(b"not a torch file at all")
+    with pytest.raises(Exception) as ei:
+        load_pth(path)
+    # must surface torch.load's own error, not a TorchScript zip complaint
+    assert "zip" not in str(ei.value).lower() or "archive" not in str(ei.value).lower()
+
+
+def test_spatial_shards_exceeding_devices_raises(tmp_path):
+    from unet_medical_image_contour_segmentation_tpu.config import TrainConfig
+    from unet_medical_image_contour_segmentation_tpu.engine.train import train_model
+
+    cfg = TrainConfig(
+        model="unet_t", data_root=str(tmp_path), epochs=1, batch_size=2,
+        spatial_shards=1024,
+    )
+    with pytest.raises(ValueError, match="spatial_shards"):
+        train_model(cfg)

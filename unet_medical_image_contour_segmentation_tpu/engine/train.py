@@ -121,6 +121,15 @@ def train_model(
     from ..data.loader import DataLoader, prefetch_to_device
     from ..models.unet import get_model
 
+    # validate the parallelism config before any dataset/model work
+    if cfg.spatial_shards > 1:
+        avail = cfg.num_devices or jax.local_device_count()
+        if cfg.spatial_shards > avail:
+            raise ValueError(
+                f"spatial_shards {cfg.spatial_shards} exceeds the "
+                f"{avail} available devices"
+            )
+
     if model is None:
         model = get_model(
             cfg.model,
@@ -145,6 +154,14 @@ def train_model(
 
     multi_host = distributed.is_multi_host()
     if multi_host:
+        if cfg.spatial_shards > 1:
+            # per-host batch slicing assumes a 1-D process-major data mesh;
+            # a 2-D (dp, sp) grid breaks that contract (dp < process_count
+            # would need cross-host image slicing the loader doesn't do)
+            raise NotImplementedError(
+                "spatial_shards > 1 is single-host only; use data "
+                "parallelism across hosts"
+            )
         # mesh over ALL processes' devices; cfg.batch_size is the GLOBAL batch
         n_dev = cfg.num_devices or jax.device_count()
         if cfg.batch_size % jax.process_count():
@@ -154,7 +171,16 @@ def train_model(
             )
         process_slice = distributed.local_batch_slice(cfg.batch_size)
     else:
-        n_dev = cfg.num_devices or 1
+        # spatial sharding needs a real multi-device mesh even when the user
+        # didn't pass num_devices — default to every local device then
+        n_dev = cfg.num_devices or (
+            jax.local_device_count() if cfg.spatial_shards > 1 else 1
+        )
+        if cfg.spatial_shards > n_dev:
+            raise ValueError(
+                f"spatial_shards {cfg.spatial_shards} exceeds the "
+                f"{n_dev} available devices"
+            )
         process_slice = None
     train_loader = DataLoader(
         train_set, cfg.batch_size, shuffle=True, num_workers=cfg.num_workers,

@@ -110,20 +110,34 @@ def load_pth(path: str, *, bilinear: bool = False, use_attention: bool = False):
     at predict.py:95-100) — the parameters are extracted host-side and
     mapped onto our pytrees.
     """
+    import zipfile
+
     import torch
 
-    sd = None
-    try:
-        obj = torch.load(path, map_location="cpu", weights_only=False)
-        if isinstance(obj, dict):
-            sd = obj
-        elif hasattr(obj, "state_dict"):  # whole pickled module
-            sd = dict(obj.state_dict())
-    except Exception:
-        pass
-    if sd is None:
-        # TorchScript deployment artifact
+    # TorchScript archives are zips containing constants.pkl; eager
+    # torch.save zips contain data.pkl.  Route on the actual artifact kind
+    # instead of trying loaders in sequence, so a corrupt file surfaces the
+    # loader's own error rather than a misleading one from the wrong loader.
+    is_jit = False
+    if zipfile.is_zipfile(path):
+        with zipfile.ZipFile(path) as zf:
+            is_jit = any(n.endswith("constants.pkl") for n in zf.namelist())
+    if is_jit:
         sd = dict(torch.jit.load(path, map_location="cpu").state_dict())
+    else:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(obj, "state_dict") and not isinstance(obj, dict):
+            sd = dict(obj.state_dict())  # whole pickled module
+        elif isinstance(obj, dict):
+            # unwrap common {'state_dict': ...} checkpoint wrappers
+            inner = obj.get("state_dict")
+            sd = dict(inner) if isinstance(inner, dict) else obj
+        else:
+            raise ValueError(
+                f"{path}: torch.load produced {type(obj).__name__}, expected a "
+                "state_dict, a checkpoint dict, a pickled module, or a "
+                "TorchScript archive"
+            )
     sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
     return params_from_torch_state_dict(
         sd, bilinear=bilinear, use_attention=use_attention

@@ -93,7 +93,7 @@ class UNet:
             if self.layout == "wide":
                 raise ValueError(
                     f"wide layout unsupported for input {x.shape} "
-                    f"(H, W must divide 16); use layout='nhwc'"
+                    f"(H and W must be divisible by 16); use layout='nhwc'"
                 )
         if self.layout in ("auto", "s2d"):
             from .s2d_exec import apply_s2d, supports_s2d

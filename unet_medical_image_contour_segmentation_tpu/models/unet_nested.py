@@ -91,7 +91,7 @@ class UNetPlusPlus:
         if self.layout == "wide":
             raise ValueError(
                 f"wide layout unsupported for input {x.shape} "
-                f"(H, W must divide {2 ** (self.depth - 1)}); use layout='nhwc'"
+                f"(H and W must be divisible by {2 ** (self.depth - 1)}); use layout='nhwc'"
             )
         if self.layout in ("auto", "s2d") and self._supports_s2d(x.shape):
             logits_s2d, new_state, b0 = self._apply_s2d(
@@ -215,7 +215,7 @@ class UNetPlusPlus:
             cur = W.max_pool2_wide(nodes[(i - 1, 0)], bws[i - 1])
             cur_bw = max(bws[i - 1] // 2, 1)
             if cur_bw != bws[i]:
-                cur = W.reblock(cur, cur_bw, bws[i], w[i - 1])
+                cur = W.reblock(cur, cur_bw, bws[i])
             nodes[(i, 0)] = dc(f"x{i}_0", cur, bws[i])
 
         for j in range(1, d):
@@ -233,7 +233,7 @@ class UNetPlusPlus:
                     up_c = w[i]
                 up_bw = 2 * bws[i + 1]
                 if up_bw != b:
-                    upped = W.reblock(upped, up_bw, b, up_c)
+                    upped = W.reblock(upped, up_bw, b)
                 feats = W.concat_wide(skips + [upped.astype(skips[0].dtype)], b,
                                       [w[i]] * j + [up_c])
                 nodes[(i, j)] = dc(f"x{i}_{j}", feats, b)

@@ -135,7 +135,7 @@ def apply_wide(model, params, state, x, *, train: bool = False, axis_name=None,
         cur = W.max_pool2_wide(cur, cur_bw)
         cur_bw = max(cur_bw // 2, 1)
         if cur_bw != bws[i]:
-            cur = W.reblock(cur, cur_bw, bws[i], w[i - 1])
+            cur = W.reblock(cur, cur_bw, bws[i])
             cur_bw = bws[i]
         cur = dc(f"down{i}", cur, cur_bw)
         if i < 4:
@@ -156,7 +156,7 @@ def apply_wide(model, params, state, x, *, train: bool = False, axis_name=None,
             up_c = in_c
         y_bw = 2 * y_bw
         if y_bw != skip_bw:
-            y = W.reblock(y, y_bw, skip_bw, up_c)
+            y = W.reblock(y, y_bw, skip_bw)
             y_bw = skip_bw
         if "att" in p:
             skip = _attention(p["att"], skip, skip_bw, skip_c, cd=cd)

@@ -133,13 +133,13 @@ def _c2f_w(params, state, x, bw, n, *, train, cd, axis_name):
     # the bottleneck chain works on half the channels: run it at ITS optimal
     # block width (reblocks are pure reshapes)
     bw_b = W.wide_block(c)
-    chain = W.reblock(parts[1], bw, bw_b, c)
+    chain = W.reblock(parts[1], bw, bw_b)
     for i in range(n):
         chain, new_state[f"m{i}"] = _bottleneck_w(
             params[f"m{i}"], state[f"m{i}"], chain, bw_b,
             train=train, cd=cd, axis_name=axis_name,
         )
-        parts.append(W.reblock(chain, bw_b, bw, c))
+        parts.append(W.reblock(chain, bw_b, bw))
     y = W.concat_wide(parts, bw, [c] * (2 + n))
     y, new_state["cv2"], _ = _cbs_w(params["cv2"], state["cv2"], y, bw,
                                     train=train, cd=cd, axis_name=axis_name)
@@ -232,7 +232,7 @@ class YOLOv8Seg:
         if self.layout == "wide":
             raise ValueError(
                 f"wide layout unsupported for input {x.shape} "
-                f"(H, W must divide 32); use layout='nhwc'"
+                f"(H and W must be divisible by 32); use layout='nhwc'"
             )
         return self._apply_nhwc(params, state, x, train=train, axis_name=axis_name)
 
@@ -333,7 +333,7 @@ class YOLOv8Seg:
             c_i = y.shape[-1] // bw
             bw_opt = W.wide_block(c_i)  # re-optimal for non-default widths
             if bw != bw_opt:
-                y = W.reblock(y, bw, bw_opt, c_i)
+                y = W.reblock(y, bw, bw_opt)
                 bw = bw_opt
             y = c2f(f"c2f{i}", y, bw, d[i])
             feats[i] = W.unpack(y, bw)  # neck runs dense; no-op at bw 1
@@ -355,7 +355,7 @@ class YOLOv8Seg:
             bw2 = 2 * bw
             bw_opt = W.wide_block(c_out)
             if bw2 != bw_opt:
-                t = W.reblock(t, bw2, bw_opt, c_out)
+                t = W.reblock(t, bw2, bw_opt)
                 bw2 = bw_opt
             return t, bw2
 

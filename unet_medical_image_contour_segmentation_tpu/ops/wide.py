@@ -89,7 +89,7 @@ def unpack_int(m: jnp.ndarray, bw: int) -> jnp.ndarray:
     return m.reshape(B, H, Wb * g)
 
 
-def reblock(x: jnp.ndarray, bw_from: int, bw_to: int, c: int) -> jnp.ndarray:
+def reblock(x: jnp.ndarray, bw_from: int, bw_to: int) -> jnp.ndarray:
     """Change block width at the same resolution (pure reshape)."""
     if bw_from == bw_to:
         return x
