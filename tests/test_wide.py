@@ -382,3 +382,49 @@ class TestWideModel:
         np.testing.assert_array_equal(
             np.asarray(pred), np.asarray(jnp.argmax(want, axis=-1))
         )
+
+
+class TestHFold:
+    """conv_wide's H->batch folding (ops/wide.py:H_FOLD_PLANE) is exact."""
+
+    def test_folded_conv_matches_unfolded(self, monkeypatch):
+        from unet_medical_image_contour_segmentation_tpu.ops import wide as W
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 32, 8, 32), np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 4, 8), np.float32) * 0.1)
+        ref = W.conv_wide(x, w, 8)
+        monkeypatch.setattr(W, "H_FOLD_PLANE", 64)
+        monkeypatch.setattr(W, "_H_FOLD_MIN_ROWS", 4)
+        assert W._h_fold_factor(32, 8, 1) > 1
+        got = W.conv_wide(x, w, 8)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        # gradients agree up to f32 reassociation of the overlap-add
+        g_ref = jax.grad(lambda t: jnp.sum(W.conv_wide(t, w, 8, h_fold=False) ** 2))(x)
+        g_fold = jax.grad(lambda t: jnp.sum(W.conv_wide(t, w, 8) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g_fold), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_model_train_step_with_folding(self, monkeypatch):
+        """Full wide train forward+grad with folding active on every level."""
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+        from unet_medical_image_contour_segmentation_tpu.ops import wide as W
+
+        model = unet_t(1, 3)
+        params, state = model.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((1, 64, 64), np.float32))
+
+        def loss(p, fold_active):
+            logits, _ = model.apply(p, state, x, train=True)
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+        ref_l, ref_g = jax.value_and_grad(lambda p: loss(p, False))(params)
+        monkeypatch.setattr(W, "H_FOLD_PLANE", 256)
+        monkeypatch.setattr(W, "_H_FOLD_MIN_ROWS", 8)
+        got_l, got_g = jax.value_and_grad(lambda p: loss(p, True))(params)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-6, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(got_g),
+                        jax.tree_util.tree_leaves(ref_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)

@@ -53,19 +53,19 @@ def _double_conv(params, state, x, bw, *, train, cd, axis_name):
     if "bn1" not in params:  # BN-folded inference path
         assert not train, "folded parameters are eval-only"
         y = W.conv_wide(x, params["conv1"]["w"], bw, params["conv1"]["b"],
-                        compute_dtype=cd)
+                        compute_dtype=cd, h_fold=False)
         y = jax.nn.relu(y)
         y = W.conv_wide(y, params["conv2"]["w"], bw, params["conv2"]["b"],
-                        compute_dtype=cd)
+                        compute_dtype=cd, h_fold=False)
         return jax.nn.relu(y), {}
-    y = W.conv_wide(x, params["conv1"]["w"], bw, compute_dtype=cd)
+    y = W.conv_wide(x, params["conv1"]["w"], bw, compute_dtype=cd, h_fold=train)
     y, bn1 = W.batch_norm_wide(
         y, params["bn1"]["scale"], params["bn1"]["bias"],
         state["bn1"]["mean"], state["bn1"]["var"], bw,
         train=train, axis_name=axis_name,
     )
     y = jax.nn.relu(y)
-    y = W.conv_wide(y, params["conv2"]["w"], bw, compute_dtype=cd)
+    y = W.conv_wide(y, params["conv2"]["w"], bw, compute_dtype=cd, h_fold=train)
     y, bn2 = W.batch_norm_wide(
         y, params["bn2"]["scale"], params["bn2"]["bias"],
         state["bn2"]["mean"], state["bn2"]["var"], bw,
@@ -76,7 +76,7 @@ def _double_conv(params, state, x, bw, *, train, cd, axis_name):
                "bn2": {"mean": bn2[0], "var": bn2[1]}}
 
 
-def _attention(params, x, bw, c, *, cd):
+def _attention(params, x, bw, c, *, cd, h_fold=True):
     """SpatialAttention on a wide-bw skip tensor (exact reference semantics).
 
     Deliberately written as the naive rank-5 grouped reduce + broadcast
@@ -94,7 +94,8 @@ def _attention(params, x, bw, c, *, cd):
     mx = jnp.max(xg, axis=-1)
     feats = jnp.stack([avg, mx], axis=-1)            # (..., bw, 2)
     feats = feats.reshape(*x.shape[:-1], bw * 2).astype(x.dtype)
-    att = W.conv_wide(feats, params["conv"]["w"], bw, compute_dtype=cd)
+    att = W.conv_wide(feats, params["conv"]["w"], bw, compute_dtype=cd,
+                      h_fold=h_fold)
     att = jax.nn.sigmoid(att.astype(jnp.float32)).astype(x.dtype)
     y = xg.astype(x.dtype) * att[..., None]
     return y.reshape(x.shape)
@@ -159,7 +160,8 @@ def apply_wide(model, params, state, x, *, train: bool = False, axis_name=None,
             y = W.reblock(y, y_bw, skip_bw)
             y_bw = skip_bw
         if "att" in p:
-            skip = _attention(p["att"], skip, skip_bw, skip_c, cd=cd)
+            skip = _attention(p["att"], skip, skip_bw, skip_c, cd=cd,
+                              h_fold=train)
         y = W.concat_wide([skip, y.astype(skip.dtype)], y_bw, [skip_c, up_c])
         up_state = state[f"up{i}"]["conv"] if state is not None else None
         y, ns = _double_conv(p["conv"], up_state, y, y_bw,

@@ -97,7 +97,8 @@ def _c2f(params, state, x, n, *, train, cd, axis_name):
 def _cbs_w(params, state, x, bw, *, stride=1, train, cd, axis_name):
     from ..ops import wide as W
 
-    y = W.conv_wide(x, params["conv"]["w"], bw, compute_dtype=cd, stride=stride)
+    y = W.conv_wide(x, params["conv"]["w"], bw, compute_dtype=cd, stride=stride,
+                    h_fold=train)
     bwo = max(bw // stride, 1)
     if bwo == 1:
         y, bn = batch_norm(
