@@ -203,9 +203,10 @@ class UNetPlusPlus:
         bws = [W.wide_block(c, MAX_BW) for c in w]
         new_state = {}
 
-        def dc(name, t, bw):
+        def dc(name, t, bw, split_cs=None):
             fn = ckpt(lambda p, s, u: _double_conv(p, s, u, bw, train=train,
-                                                   cd=cd, axis_name=axis_name))
+                                                   cd=cd, axis_name=axis_name,
+                                                   split_cs=split_cs))
             y, ns = fn(params[name], state[name] if state is not None else None, t)
             new_state[name] = ns
             return y
@@ -234,9 +235,11 @@ class UNetPlusPlus:
                 up_bw = 2 * bws[i + 1]
                 if up_bw != b:
                     upped = W.reblock(upped, up_bw, b)
-                feats = W.concat_wide(skips + [upped.astype(skips[0].dtype)], b,
-                                      [w[i]] * j + [up_c])
-                nodes[(i, j)] = dc(f"x{i}_{j}", feats, b)
+                # kernel-split conv over the node inputs: the reference's
+                # concat never materializes (ops/wide.py:conv_wide_split)
+                feats = skips + [upped.astype(skips[0].dtype)]
+                nodes[(i, j)] = dc(f"x{i}_{j}", feats, b,
+                                   split_cs=[w[i]] * j + [up_c])
 
         b0 = bws[0]
         head = W.conv1x1_wide_class_major if class_major else W.conv1x1_wide

@@ -44,21 +44,32 @@ def supports_wide(model, x_shape) -> bool:
     return h % 16 == 0 and w % 16 == 0
 
 
-def _double_conv(params, state, x, bw, *, train, cd, axis_name):
+def _double_conv(params, state, x, bw, *, train, cd, axis_name, split_cs=None):
     """DoubleConv in wide-bw layout; returns (y, new_state).
 
     Folded eval params (no ``bn*`` keys — models/fold_bn.py) skip the
     BatchNorm passes entirely.
+
+    ``split_cs``: when ``x`` is a LIST of wide tensors (a decoder skip +
+    upsample pair that the reference concatenates), conv1's kernel splits
+    over them (ops/wide.py:conv_wide_split) — the lane-interleaving concat
+    never materializes.
     """
+
+    def conv1(inp, w, b=None, *, fold):
+        if split_cs is not None:
+            return W.conv_wide_split(inp, split_cs, w, bw, b,
+                                     compute_dtype=cd, h_fold=fold)
+        return W.conv_wide(inp, w, bw, b, compute_dtype=cd, h_fold=fold)
+
     if "bn1" not in params:  # BN-folded inference path
         assert not train, "folded parameters are eval-only"
-        y = W.conv_wide(x, params["conv1"]["w"], bw, params["conv1"]["b"],
-                        compute_dtype=cd, h_fold=False)
+        y = conv1(x, params["conv1"]["w"], params["conv1"]["b"], fold=False)
         y = jax.nn.relu(y)
         y = W.conv_wide(y, params["conv2"]["w"], bw, params["conv2"]["b"],
                         compute_dtype=cd, h_fold=False)
         return jax.nn.relu(y), {}
-    y = W.conv_wide(x, params["conv1"]["w"], bw, compute_dtype=cd, h_fold=train)
+    y = conv1(x, params["conv1"]["w"], fold=train)
     y, bn1 = W.batch_norm_wide(
         y, params["bn1"]["scale"], params["bn1"]["bias"],
         state["bn1"]["mean"], state["bn1"]["var"], bw,
@@ -162,10 +173,11 @@ def apply_wide(model, params, state, x, *, train: bool = False, axis_name=None,
         if "att" in p:
             skip = _attention(p["att"], skip, skip_bw, skip_c, cd=cd,
                               h_fold=train)
-        y = W.concat_wide([skip, y.astype(skip.dtype)], y_bw, [skip_c, up_c])
         up_state = state[f"up{i}"]["conv"] if state is not None else None
-        y, ns = _double_conv(p["conv"], up_state, y, y_bw,
-                             train=train, cd=cd, axis_name=axis_name)
+        y, ns = _double_conv(p["conv"], up_state,
+                             [skip, y.astype(skip.dtype)], y_bw,
+                             train=train, cd=cd, axis_name=axis_name,
+                             split_cs=[skip_c, up_c])
         new_state[f"up{i}"] = {"conv": ns}
 
     head = W.conv1x1_wide_class_major if class_major else W.conv1x1_wide

@@ -94,11 +94,17 @@ def _c2f(params, state, x, n, *, train, cd, axis_name):
 
 # -- wide-layout variants of the primitives (ops/wide.py; bw=1 == dense) -----
 
-def _cbs_w(params, state, x, bw, *, stride=1, train, cd, axis_name):
+def _cbs_w(params, state, x, bw, *, stride=1, train, cd, axis_name,
+           split_cs=None):
     from ..ops import wide as W
 
-    y = W.conv_wide(x, params["conv"]["w"], bw, compute_dtype=cd, stride=stride,
-                    h_fold=train)
+    if split_cs is not None:  # x is a list; conv splits over its channels
+        assert stride == 1
+        y = W.conv_wide_split(x, split_cs, params["conv"]["w"], bw,
+                              compute_dtype=cd, h_fold=train)
+    else:
+        y = W.conv_wide(x, params["conv"]["w"], bw, compute_dtype=cd,
+                        stride=stride, h_fold=train)
     bwo = max(bw // stride, 1)
     if bwo == 1:
         y, bn = batch_norm(
@@ -141,6 +147,11 @@ def _c2f_w(params, state, x, bw, n, *, train, cd, axis_name):
             train=train, cd=cd, axis_name=axis_name,
         )
         parts.append(W.reblock(chain, bw_b, bw))
+    # NOTE: keep the concat here.  Each part is only c*bw = 64 lanes, so the
+    # kernel-split form (conv_wide_split) runs 2+n half-empty convs and
+    # measured 10% SLOWER end-to-end; the concat builds one dense 128-lane
+    # operand.  Splitting only wins when every part is already >= 128 lanes
+    # (the UNet/UNet++ skip connections).
     y = W.concat_wide(parts, bw, [c] * (2 + n))
     y, new_state["cv2"], _ = _cbs_w(params["cv2"], state["cv2"], y, bw,
                                     train=train, cd=cd, axis_name=axis_name)

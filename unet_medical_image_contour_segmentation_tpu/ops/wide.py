@@ -48,6 +48,8 @@ __all__ = [
     "max_pool2_wide",
     "upsample2_ac_wide",
     "batch_norm_wide",
+    "conv_wide_split",
+    "conv1x1_wide_split",
     "concat_wide",
     "split_wide",
 ]
@@ -325,8 +327,58 @@ def batch_norm_wide(x, scale, bias, running_mean, running_var, bw, *,
     )
 
 
+def conv_wide_split(xs, channels, w, bw: int, bias=None, compute_dtype=None,
+                    h_fold: bool = True) -> jnp.ndarray:
+    """``conv_wide(concat_wide(xs, bw, channels), w, bw)`` without the concat.
+
+    ``concat_wide`` interleaves lanes per dx group — a full-tensor shuffle
+    (and an equally expensive slice-shuffle in its VJP).  Splitting the
+    kernel on its input-channel axis and summing the partial convs computes
+    the identical MACs with no shuffle: measured 2.4x faster forward /
+    1.6x faster grad at the 512^2 C=16 decoder level on v5e.  The partial
+    sums reassociate the K-reduction, so results match concat+conv to
+    accumulation order (exact in f32 on CPU tests' tolerances).
+
+    Only use when every part is lane-dense (c_i * bw >= 128): half-empty
+    parts make each partial conv pad its lanes and measured 10% slower
+    end-to-end on YOLO's C2f (c*bw = 64) — keep concat_wide there.
+    """
+    off, y = 0, None
+    for x, c in zip(xs, channels):
+        part = conv_wide(x, w[:, :, off:off + c, :], bw,
+                         compute_dtype=compute_dtype, h_fold=h_fold)
+        y = part if y is None else y + part
+        off += c
+    if bias is not None:
+        b = bias if bw == 1 else jnp.tile(bias, bw)
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv1x1_wide_split(xs, channels, w, bw: int, bias=None,
+                       compute_dtype=None) -> jnp.ndarray:
+    """``conv1x1_wide(concat_wide(xs, bw, channels), w, bw)`` without the
+    concat — same kernel-splitting identity as ``conv_wide_split``."""
+    off, y = 0, None
+    for x, c in zip(xs, channels):
+        part = conv1x1_wide(x, w[off:off + c, :] if w.ndim == 2
+                            else w[:, :, off:off + c, :], bw,
+                            compute_dtype=compute_dtype)
+        y = part if y is None else y + part
+        off += c
+    if bias is not None:
+        b = bias if bw == 1 else jnp.tile(bias, bw)
+        y = y + b.astype(y.dtype)
+    return y
+
+
 def concat_wide(xs, bw: int, channels) -> jnp.ndarray:
-    """Channel-concat of same-block wide tensors (per-dx-group lane concat)."""
+    """Channel-concat of same-block wide tensors (per-dx-group lane concat).
+
+    NOTE: this is a lane-interleaving shuffle of the full tensor.  When the
+    concat feeds a conv, use ``conv_wide_split``/``conv1x1_wide_split``
+    instead — kernel splitting computes the same result with no shuffle.
+    """
     parts = [x.reshape(*x.shape[:-1], bw, c) for x, c in zip(xs, channels)]
     y = jnp.concatenate(parts, axis=-1)
     return y.reshape(*y.shape[:-2], bw * sum(channels))
