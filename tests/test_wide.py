@@ -428,3 +428,57 @@ class TestHFold:
                         jax.tree_util.tree_leaves(ref_g)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestConvSplit:
+    """conv_wide_split / conv1x1_wide_split == concat_wide + conv."""
+
+    def test_conv_wide_split_matches_concat(self):
+        from unet_medical_image_contour_segmentation_tpu.ops import wide as W
+
+        rng = np.random.default_rng(0)
+        bw, c1, c2 = 4, 32, 16
+        a = jnp.asarray(rng.random((2, 16, 8, bw * c1), np.float32))
+        b = jnp.asarray(rng.random((2, 16, 8, bw * c2), np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, c1 + c2, 8), np.float32) * 0.1)
+        bias = jnp.asarray(rng.standard_normal(8, np.float32))
+
+        ref = W.conv_wide(W.concat_wide([a, b], bw, [c1, c2]), w, bw, bias)
+        got = W.conv_wide_split([a, b], [c1, c2], w, bw, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_conv1x1_wide_split_matches_concat(self):
+        from unet_medical_image_contour_segmentation_tpu.ops import wide as W
+
+        rng = np.random.default_rng(1)
+        bw, c1, c2 = 2, 64, 64
+        a = jnp.asarray(rng.random((1, 8, 8, bw * c1), np.float32))
+        b = jnp.asarray(rng.random((1, 8, 8, bw * c2), np.float32))
+        w = jnp.asarray(rng.standard_normal((1, 1, c1 + c2, 16), np.float32) * 0.1)
+        bias = jnp.asarray(rng.standard_normal(16, np.float32))
+
+        ref = W.conv1x1_wide(W.concat_wide([a, b], bw, [c1, c2]), w, bw, bias)
+        got = W.conv1x1_wide_split([a, b], [c1, c2], w, bw, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_split_gradients_match(self):
+        from unet_medical_image_contour_segmentation_tpu.ops import wide as W
+
+        rng = np.random.default_rng(2)
+        bw, c = 4, 32
+        a = jnp.asarray(rng.random((1, 16, 4, bw * c), np.float32))
+        b = jnp.asarray(rng.random((1, 16, 4, bw * c), np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 2 * c, 8), np.float32) * 0.1)
+
+        def loss_cat(t):
+            return jnp.sum(W.conv_wide(W.concat_wide([t, b], bw, [c, c]), w, bw) ** 2)
+
+        def loss_split(t):
+            return jnp.sum(W.conv_wide_split([t, b], [c, c], w, bw) ** 2)
+
+        g1 = jax.grad(loss_cat)(a)
+        g2 = jax.grad(loss_split)(a)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=1e-4, atol=1e-5)
