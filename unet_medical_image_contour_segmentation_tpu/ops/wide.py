@@ -145,8 +145,15 @@ _H_FOLD_MIN_ROWS = 64  # keeps halo duplication overhead under ~3%
 
 
 def _h_fold_factor(h: int, wp: int, stride: int) -> int:
-    """Chunks to split H into so each chunk's plane fits H_FOLD_PLANE."""
-    if stride != 1 or h * wp <= H_FOLD_PLANE:
+    """Chunks to split H into so each chunk's plane fits H_FOLD_PLANE.
+
+    Only narrow-W' shapes are in the slow regime: every measured slow case
+    has W' <= 128 ((2,1024,128), (4,512,128)); at W' = 256 (the big unet's
+    C=64 level at 512²) the unfolded conv is fine and folding COSTS 28%
+    (interleaved A/B: 129 vs 101 ms full train step) — XLA can tile a wide
+    W' dimension itself.
+    """
+    if stride != 1 or wp > 128 or h * wp <= H_FOLD_PLANE:
         return 1
     f = 1
     while (
@@ -341,8 +348,15 @@ def conv_wide_split(xs, channels, w, bw: int, bias=None, compute_dtype=None,
 
     Only use when every part is lane-dense (c_i * bw >= 128): half-empty
     parts make each partial conv pad its lanes and measured 10% slower
-    end-to-end on YOLO's C2f (c*bw = 64) — keep concat_wide there.
+    end-to-end on YOLO's C2f (c*bw = 64) — keep concat_wide there.  At
+    bw == 1 the dense channel concat is already shuffle-free (lanes ARE
+    channels), so this falls back to concat + conv — splitting there only
+    costs conv-count and fusion (the big `unet` lost 17% before this
+    fallback).
     """
+    if bw == 1:
+        return conv_wide(jnp.concatenate(xs, axis=-1), w, bw, bias,
+                         compute_dtype=compute_dtype, h_fold=h_fold)
     off, y = 0, None
     for x, c in zip(xs, channels):
         part = conv_wide(x, w[:, :, off:off + c, :], bw,
@@ -358,7 +372,11 @@ def conv_wide_split(xs, channels, w, bw: int, bias=None, compute_dtype=None,
 def conv1x1_wide_split(xs, channels, w, bw: int, bias=None,
                        compute_dtype=None) -> jnp.ndarray:
     """``conv1x1_wide(concat_wide(xs, bw, channels), w, bw)`` without the
-    concat — same kernel-splitting identity as ``conv_wide_split``."""
+    concat — same kernel-splitting identity (and bw == 1 concat fallback)
+    as ``conv_wide_split``."""
+    if bw == 1:
+        return conv1x1_wide(jnp.concatenate(xs, axis=-1), w, bw, bias,
+                            compute_dtype=compute_dtype)
     off, y = 0, None
     for x, c in zip(xs, channels):
         part = conv1x1_wide(x, w[off:off + c, :] if w.ndim == 2
