@@ -482,3 +482,20 @@ class TestConvSplit:
         g2 = jax.grad(loss_split)(a)
         np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                    rtol=1e-4, atol=1e-5)
+
+    def test_no_h_fold_context(self):
+        from unet_medical_image_contour_segmentation_tpu.ops import wide as W
+
+        assert W._h_fold_factor(1024, 128, 1) > 1
+        with W.no_h_fold():
+            assert W._h_fold_factor(1024, 128, 1) == 1
+        assert W._h_fold_factor(1024, 128, 1) > 1
+
+    def test_split_channel_mismatch_raises(self):
+        from unet_medical_image_contour_segmentation_tpu.ops import wide as W
+
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.random((1, 8, 4, 4 * 16), np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 32, 8), np.float32))
+        with pytest.raises(AssertionError):
+            W.conv_wide_split([a], [16], w, 4)  # 16 != kernel cin 32

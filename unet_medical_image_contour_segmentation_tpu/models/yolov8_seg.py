@@ -94,17 +94,11 @@ def _c2f(params, state, x, n, *, train, cd, axis_name):
 
 # -- wide-layout variants of the primitives (ops/wide.py; bw=1 == dense) -----
 
-def _cbs_w(params, state, x, bw, *, stride=1, train, cd, axis_name,
-           split_cs=None):
+def _cbs_w(params, state, x, bw, *, stride=1, train, cd, axis_name):
     from ..ops import wide as W
 
-    if split_cs is not None:  # x is a list; conv splits over its channels
-        assert stride == 1
-        y = W.conv_wide_split(x, split_cs, params["conv"]["w"], bw,
-                              compute_dtype=cd, h_fold=train)
-    else:
-        y = W.conv_wide(x, params["conv"]["w"], bw, compute_dtype=cd,
-                        stride=stride, h_fold=train)
+    y = W.conv_wide(x, params["conv"]["w"], bw, compute_dtype=cd,
+                    stride=stride, h_fold=train)
     bwo = max(bw // stride, 1)
     if bwo == 1:
         y, bn = batch_norm(

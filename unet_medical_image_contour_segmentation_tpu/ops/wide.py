@@ -25,6 +25,7 @@ All ops here are numerically exact equivalents of their NHWC counterparts
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Optional, Tuple
@@ -48,6 +49,7 @@ __all__ = [
     "max_pool2_wide",
     "upsample2_ac_wide",
     "batch_norm_wide",
+    "no_h_fold",
     "conv_wide_split",
     "conv1x1_wide_split",
     "concat_wide",
@@ -142,6 +144,21 @@ def _scatter_kernel_wide(w: jnp.ndarray, bw: int, stride: int = 1):
 # into the batch dim with a halo to stay below it — numerically exact.
 H_FOLD_PLANE = 32768
 _H_FOLD_MIN_ROWS = 64  # keeps halo duplication overhead under ~3%
+_H_FOLD_SUPPRESSED = [False]
+
+
+@contextlib.contextmanager
+def no_h_fold():
+    """Disable H->batch folding for code traced inside this context.
+
+    Used by the GSPMD spatial train step (parallel/spatial.py): there the H
+    axis is SHARDED over the mesh, and folding it into batch would replace
+    cheap halo exchanges with all-to-all reshards around every conv."""
+    _H_FOLD_SUPPRESSED[0] = True
+    try:
+        yield
+    finally:
+        _H_FOLD_SUPPRESSED[0] = False
 
 
 def _h_fold_factor(h: int, wp: int, stride: int) -> int:
@@ -153,7 +170,8 @@ def _h_fold_factor(h: int, wp: int, stride: int) -> int:
     (interleaved A/B: 129 vs 101 ms full train step) — XLA can tile a wide
     W' dimension itself.
     """
-    if stride != 1 or wp > 128 or h * wp <= H_FOLD_PLANE:
+    if _H_FOLD_SUPPRESSED[0] or stride != 1 or wp > 128 \
+            or h * wp <= H_FOLD_PLANE:
         return 1
     f = 1
     while (
@@ -354,6 +372,10 @@ def conv_wide_split(xs, channels, w, bw: int, bias=None, compute_dtype=None,
     costs conv-count and fusion (the big `unet` lost 17% before this
     fallback).
     """
+    assert len(xs) == len(channels), (len(xs), len(channels))
+    assert sum(channels) == w.shape[2], (
+        f"split channels {channels} must cover the kernel's cin {w.shape[2]}"
+    )
     if bw == 1:
         return conv_wide(jnp.concatenate(xs, axis=-1), w, bw, bias,
                          compute_dtype=compute_dtype, h_fold=h_fold)
@@ -364,8 +386,7 @@ def conv_wide_split(xs, channels, w, bw: int, bias=None, compute_dtype=None,
         y = part if y is None else y + part
         off += c
     if bias is not None:
-        b = bias if bw == 1 else jnp.tile(bias, bw)
-        y = y + b.astype(y.dtype)
+        y = y + jnp.tile(bias, bw).astype(y.dtype)
     return y
 
 
@@ -374,19 +395,21 @@ def conv1x1_wide_split(xs, channels, w, bw: int, bias=None,
     """``conv1x1_wide(concat_wide(xs, bw, channels), w, bw)`` without the
     concat — same kernel-splitting identity (and bw == 1 concat fallback)
     as ``conv_wide_split``."""
+    assert len(xs) == len(channels), (len(xs), len(channels))
+    assert sum(channels) == w.shape[2], (
+        f"split channels {channels} must cover the kernel's cin {w.shape[2]}"
+    )
     if bw == 1:
         return conv1x1_wide(jnp.concatenate(xs, axis=-1), w, bw, bias,
                             compute_dtype=compute_dtype)
     off, y = 0, None
     for x, c in zip(xs, channels):
-        part = conv1x1_wide(x, w[off:off + c, :] if w.ndim == 2
-                            else w[:, :, off:off + c, :], bw,
+        part = conv1x1_wide(x, w[:, :, off:off + c, :], bw,
                             compute_dtype=compute_dtype)
         y = part if y is None else y + part
         off += c
     if bias is not None:
-        b = bias if bw == 1 else jnp.tile(bias, bw)
-        y = y + b.astype(y.dtype)
+        y = y + jnp.tile(bias, bw).astype(y.dtype)
     return y
 
 

@@ -101,6 +101,7 @@ def make_spatial_train_step(model, loss_cfg, opt_cfg, mesh: Mesh,
     avoids re-partitioning analysis at compile time.
     """
     from ..engine.train import make_train_step
+    from ..ops import wide as W
 
     step_fn = make_train_step(model, loss_cfg, opt_cfg, clipping, axis_name=None)
     axes = mesh.axis_names
@@ -108,11 +109,20 @@ def make_spatial_train_step(model, loss_cfg, opt_cfg, mesh: Mesh,
     repl = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P(batch_axis, SPATIAL_AXIS))
 
-    return jax.jit(
+    jitted = jax.jit(
         step_fn,
         in_shardings=(repl, {"image": sharded, "mask": sharded}, repl),
         out_shardings=(repl, repl),
     )
+
+    def step(state, batch, lr):
+        # trace (first call) with H->batch folding suppressed: H is SHARDED
+        # here, and folding it into batch would turn the partitioner's cheap
+        # halo exchanges into all-to-all reshards around every conv
+        with W.no_h_fold():
+            return jitted(state, batch, lr)
+
+    return step
 
 
 def tiled_inference(
