@@ -189,3 +189,50 @@ class TestConnectedComponent:
         expect = float(expect) if not hasattr(expect, "item") else expect.item()
         got = connected_component_loss(pred, edge_distance=30, min_area=500)
         assert got == pytest.approx(expect, rel=1e-6)
+
+
+    def test_compound_opt_in_wiring(self):
+        """cc_loss opt-in adds exactly the host penalty to the loss VALUE and
+        leaves the gradient untouched (reference train.py:124-132, commented)."""
+        import jax
+
+        logits = jnp.asarray(
+            np.random.default_rng(17).normal(size=(2, 64, 64, 1)).astype(np.float32)
+        )
+        targets = jnp.asarray(
+            (np.random.default_rng(18).uniform(size=(2, 64, 64)) * 3).astype(np.int32)
+        )
+        base_cfg = LossConfig(n_classes=1)
+        cc_cfg = LossConfig(n_classes=1, connected_component=True)
+
+        lossfn = lambda cfg: (lambda lg: compute_loss(lg, targets, cfg))
+        (l0, _), g0 = jax.jit(jax.value_and_grad(lossfn(base_cfg), has_aux=True))(logits)
+        (l1, m1), g1 = jax.jit(jax.value_and_grad(lossfn(cc_cfg), has_aux=True))(logits)
+
+        host_cc = connected_component_loss(
+            np.asarray(jax.nn.sigmoid(logits[..., 0])), 50, 1000, 0.1
+        )
+        assert float(m1["cc"]) == pytest.approx(host_cc, rel=1e-6)
+        assert float(l1) - float(l0) == pytest.approx(host_cc, rel=1e-5)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=0, atol=0)
+
+    def test_compound_emit_probs_mode(self):
+        """cc_emit_probs=True keeps the penalty out of the traced step (for
+        PJRT plugins without host callbacks) and hands the caller the probs."""
+        import jax
+
+        logits = jnp.asarray(
+            np.random.default_rng(19).normal(size=(2, 32, 32, 1)).astype(np.float32)
+        )
+        targets = jnp.asarray(
+            (np.random.default_rng(20).uniform(size=(2, 32, 32)) * 3).astype(np.int32)
+        )
+        cfg = LossConfig(n_classes=1, connected_component=True, cc_emit_probs=True)
+        (l, m), g = jax.jit(jax.value_and_grad(
+            lambda lg: compute_loss(lg, targets, cfg), has_aux=True))(logits)
+        l0, _ = compute_loss(logits, targets, LossConfig(n_classes=1))
+        assert float(l) == pytest.approx(float(l0), rel=1e-6)  # loss untouched
+        np.testing.assert_allclose(
+            np.asarray(m["cc_probs"]), np.asarray(jax.nn.sigmoid(logits[..., 0])),
+            rtol=1e-6, atol=0,
+        )

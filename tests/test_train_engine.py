@@ -196,6 +196,46 @@ class TestDataParallel:
         for a, b in zip(jax.tree.leaves(s1.bn_state), jax.tree.leaves(s2.bn_state)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
+    def test_parallel_step_binary_with_cc(self):
+        """Binary (n_classes=1) DP path incl. the emitted cc_probs tensor.
+
+        Regression: boundary_loss's logit-detection pmin/pmax had no
+        differentiation rule, so the binary DP grad trace crashed (the
+        multiclass tests never hit boundary_loss under shard_map)."""
+        from unet_medical_image_contour_segmentation_tpu.parallel import (
+            batch_sharding, make_data_mesh, make_parallel_train_step, replicate,
+        )
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >=4 virtual devices")
+        mesh = make_data_mesh(4)
+        model = unet_t(1, 1)
+        loss_cfg = LossConfig(n_classes=1, connected_component=True,
+                              cc_emit_probs=True)
+        opt_cfg = RMSpropConfig(learning_rate=1e-4)
+
+        state0 = init_train_state(model, jax.random.PRNGKey(4))
+        batch = _batch(seed=10, b=8, hw=32)
+
+        single = jax.jit(make_train_step(model, loss_cfg, opt_cfg))
+        s1, m1 = single(state0, batch, 1e-4)
+
+        pstep = make_parallel_train_step(model, loss_cfg, opt_cfg, mesh, donate=False)
+        state_r = replicate(init_train_state(model, jax.random.PRNGKey(4)), mesh)
+        sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+        s2, m2 = pstep(state_r, sharded_batch, 1e-4)
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+        assert m2["cc_probs"].shape == (8, 32, 32)
+        np.testing.assert_allclose(
+            np.asarray(m1["cc_probs"]), np.asarray(m2["cc_probs"]),
+            rtol=2e-5, atol=1e-6,
+        )
+        assert_params_close(
+            jax.tree.leaves(s2.params), jax.tree.leaves(s1.params),
+            jax.tree.leaves(state0.params), lr=1e-4, steps=1,
+        )
+
     def test_parallel_eval_step(self):
         from unet_medical_image_contour_segmentation_tpu.parallel import (
             batch_sharding, make_data_mesh, make_parallel_eval_step, replicate,
@@ -298,10 +338,14 @@ def test_load_pth_rejects_garbage(tmp_path):
     path = str(tmp_path / "junk.pth")
     with open(path, "wb") as f:
         f.write(b"not a torch file at all")
-    with pytest.raises(Exception) as ei:
+    import pickle
+
+    with pytest.raises(pickle.UnpicklingError) as ei:
         load_pth(path)
-    # must surface torch.load's own error, not a TorchScript zip complaint
-    assert "zip" not in str(ei.value).lower() or "archive" not in str(ei.value).lower()
+    # must surface torch.load's own pickle error, not a TorchScript zip complaint
+    msg = str(ei.value).lower()
+    assert "invalid load key" in msg
+    assert "constants.pkl" not in msg and "archive" not in msg
 
 
 def test_spatial_shards_exceeding_devices_raises(tmp_path):

@@ -21,7 +21,9 @@ def get_args():
     parser.add_argument("--load", "-f", type=str, default=False, help="Load model from a .pth/.npz file")
     parser.add_argument("--scale", "-s", type=float, default=0.5, help="Downscaling factor of the images")
     parser.add_argument("--validation", "-v", dest="val", type=float, default=10.0,
-                        help="Percent of the data used as validation (0-100)")
+                        help="Accepted for reference CLI compatibility and ignored "
+                             "(like the reference's train.py:232): the split is "
+                             "directory-based (imgs/train vs imgs/val)")
     parser.add_argument("--amp", action="store_true", default=True, help="Use bf16 mixed precision")
     parser.add_argument("--no-amp", dest="amp", action="store_false",
                         help="Full f32 compute (the reference's --amp cannot be disabled; ours can)")
@@ -47,6 +49,10 @@ def get_args():
                         help="Rematerialize blocks (activation checkpointing)")
     parser.add_argument("--no-scheduler-quirk", dest="scheduler_quirk", action="store_false",
                         default=True, help="Step the LR schedule by epoch instead of by Dice")
+    parser.add_argument("--cc-loss", action="store_true", default=False,
+                        help="Add the connected-component penalty to the binary "
+                             "loss (the reference ships this commented out, "
+                             "train.py:124-132; non-differentiable host term)")
     # multi-host bootstrap (jax.distributed); on Cloud TPU pods pass
     # --distributed alone and the coordinator is auto-discovered
     parser.add_argument("--distributed", action="store_true", default=False,
@@ -95,6 +101,7 @@ def main():
         learning_rate=args.lr,
         amp=args.amp,
         scheduler_quirk=args.scheduler_quirk,
+        cc_loss=args.cc_loss,
         num_devices=args.num_devices,
         spatial_shards=args.spatial_shards,
         load=args.load or None,

@@ -40,6 +40,8 @@ class TrainConfig:
     boundary_weight: float = 0.25
     boundary_edge_width: int = 51
     boundary_edge_weight: float = 15.0
+    cc_loss: bool = False                  # opt-in connected-component penalty
+                                           # (reference's commented train.py:124-132)
     # schedule (train.py:83,187)
     sched_t0: int = 4
     sched_t_mult: int = 2

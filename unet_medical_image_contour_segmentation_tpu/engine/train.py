@@ -123,6 +123,14 @@ def train_model(
 
     # validate the parallelism config before any dataset/model work
     if cfg.spatial_shards > 1:
+        from ..parallel import distributed as _dist
+
+        if _dist.is_multi_host():
+            # raise the clear message here too, not the local-device count one
+            raise NotImplementedError(
+                "spatial_shards > 1 is single-host only; use data "
+                "parallelism across hosts"
+            )
         avail = cfg.num_devices or jax.local_device_count()
         if cfg.spatial_shards > avail:
             raise ValueError(
@@ -207,6 +215,8 @@ def train_model(
         boundary_weight=cfg.boundary_weight,
         boundary_edge_width=cfg.boundary_edge_width,
         boundary_edge_weight=cfg.boundary_edge_weight,
+        connected_component=cfg.cc_loss,
+        cc_emit_probs=True,  # host-side penalty (axon PJRT has no callbacks)
     )
     opt_cfg = RMSpropConfig(
         learning_rate=cfg.learning_rate,
@@ -280,6 +290,22 @@ def train_model(
     def check_nan(item):
         step_idx, metrics = item
         loss_val = float(metrics["loss"])
+        if "cc_probs" in metrics:
+            # value-only connected-component penalty (reference train.py:124-132,
+            # commented out there): computed host-side on the delayed fetch so
+            # the in-flight step is never stalled; zero gradient by design
+            from ..losses.connected_component import connected_component_loss
+
+            metrics = dict(metrics)
+            cc = connected_component_loss(
+                np.asarray(metrics.pop("cc_probs")),
+                edge_distance=loss_cfg.cc_edge_distance,
+                min_area=loss_cfg.cc_min_area,
+                penalty_weight=loss_cfg.cc_penalty_weight,
+            )
+            metrics["cc"] = cc
+            loss_val += cc
+            metrics["loss"] = loss_val
         if not np.isfinite(loss_val):
             raise RuntimeError("Fatal: NaN loss detected!")
         mlog.log("train_step", step=step_idx,

@@ -119,7 +119,11 @@ def boundary_loss(
         pred_mask = pred_mask[..., 1] if pred_mask.shape[-1] > 1 else pred_mask[..., 0]
     pred_mask = pred_mask.astype(jnp.float32)
 
-    mn, mx = jnp.min(pred_mask), jnp.max(pred_mask)
+    # stop_gradient: the range only feeds the boolean logits-vs-probs
+    # predicate (no gradient in the reference either — a python `if` there),
+    # and pmin/pmax have no differentiation rule under the DP grad trace
+    mn = jax.lax.stop_gradient(jnp.min(pred_mask))
+    mx = jax.lax.stop_gradient(jnp.max(pred_mask))
     if axis_name is not None:
         mn = jax.lax.pmin(mn, axis_name)
         mx = jax.lax.pmax(mx, axis_name)

@@ -34,6 +34,22 @@ class LossConfig:
     boundary_edge_width: int = 51
     boundary_edge_weight: float = 15.0
     multiclass_boundary: bool = False  # reference has this commented out
+    # Opt-in connected-component penalty, mirroring the reference's
+    # commented-out binary-path block (train.py:124-132).  Non-differentiable
+    # (host cv2 round-trip there and pure_callback here): it adds to the loss
+    # VALUE only, exactly like the reference's would have contributed no
+    # usable gradient signal beyond autograd's zero through .cpu().numpy().
+    connected_component: bool = False
+    cc_edge_distance: int = 50      # train.py:127
+    cc_min_area: int = 1000         # train.py:128
+    cc_penalty_weight: float = 0.1  # train.py:129
+    # How the (host-side) penalty reaches the loss.  False: a pure_callback
+    # inside the traced step — exact reference semantics, but some PJRT
+    # plugins (the tunneled 'axon' TPU) don't support host callbacks.
+    # True: emit ``metrics["cc_probs"]`` (stop-gradient sigmoid) and let the
+    # caller add the penalty host-side — engine/train.py folds it into the
+    # logged loss on its existing 1-step-delayed metrics fetch.
+    cc_emit_probs: bool = False
 
 
 def _mean(x: jnp.ndarray, axis_name) -> jnp.ndarray:
@@ -84,7 +100,27 @@ def compute_loss(
             axis_name=axis_name,
         )
         loss = ce + dl + cfg.boundary_weight * bl
-        return loss, {"ce": ce, "dice": dl, "boundary": bl, "loss": loss}
+        metrics = {"ce": ce, "dice": dl, "boundary": bl}
+        if cfg.connected_component:
+            probs = jax.lax.stop_gradient(jax.nn.sigmoid(pred.astype(jnp.float32)))
+            if cfg.cc_emit_probs:
+                metrics["cc_probs"] = probs  # caller adds the penalty host-side
+            else:
+                from .connected_component import as_jax_callback
+
+                # stop_gradient on the INPUT: pure_callback has no JVP rule, so
+                # the tangent must be symbolically zero before it reaches it
+                cc = as_jax_callback(
+                    edge_distance=cfg.cc_edge_distance,
+                    min_area=cfg.cc_min_area,
+                    penalty_weight=cfg.cc_penalty_weight,
+                )(probs)
+                if axis_name is not None:
+                    cc = jax.lax.pmean(cc, axis_name)
+                loss = loss + cc
+                metrics["cc"] = cc
+        metrics["loss"] = loss
+        return loss, metrics
 
     ce = cross_entropy(logits, targets, axis_name)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -97,8 +97,15 @@ def _c2f(params, state, x, n, *, train, cd, axis_name):
 def _cbs_w(params, state, x, bw, *, stride=1, train, cd, axis_name):
     from ..ops import wide as W
 
-    y = W.conv_wide(x, params["conv"]["w"], bw, compute_dtype=cd,
-                    stride=stride, h_fold=train)
+    w = params["conv"]["w"]
+    if w.shape[0] == 1 and w.shape[1] == 1 and stride == 1 and bw > 1:
+        # 1x1 convs (C2f cv1/cv2, SPPF, heads): the layout-preserving grouped
+        # matmul does the exact logical MACs; conv_wide's block-diagonal
+        # kernel would inflate them bw x for no lane-density gain
+        y = W.conv1x1_wide(x, w, bw, compute_dtype=cd)
+    else:
+        y = W.conv_wide(x, w, bw, compute_dtype=cd,
+                        stride=stride, h_fold=train)
     bwo = max(bw // stride, 1)
     if bwo == 1:
         y, bn = batch_norm(

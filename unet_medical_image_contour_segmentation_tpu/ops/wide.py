@@ -154,11 +154,12 @@ def no_h_fold():
     Used by the GSPMD spatial train step (parallel/spatial.py): there the H
     axis is SHARDED over the mesh, and folding it into batch would replace
     cheap halo exchanges with all-to-all reshards around every conv."""
+    prev = _H_FOLD_SUPPRESSED[0]
     _H_FOLD_SUPPRESSED[0] = True
     try:
         yield
     finally:
-        _H_FOLD_SUPPRESSED[0] = False
+        _H_FOLD_SUPPRESSED[0] = prev
 
 
 def _h_fold_factor(h: int, wp: int, stride: int) -> int:

@@ -81,11 +81,23 @@ def make_parallel_train_step(
     """
     step_fn = make_train_step(model, loss_cfg, opt_cfg, clipping, axis_name=AXIS)
 
+    metrics_spec = P()
+    if loss_cfg.connected_component and loss_cfg.cc_emit_probs \
+            and loss_cfg.n_classes == 1:
+        # metrics["cc_probs"] is the batch-sharded sigmoid map (the host-side
+        # connected-component penalty input); every other metric is a
+        # replicated scalar.  Keys must mirror compute_loss's binary path +
+        # the grad_norm/lr added by step_fn.
+        metrics_spec = {
+            k: P() for k in ("ce", "dice", "boundary", "loss", "grad_norm", "lr")
+        }
+        metrics_spec["cc_probs"] = P(AXIS)
+
     sharded = jax.shard_map(
         step_fn,
         mesh=mesh,
         in_specs=(P(), {"image": P(AXIS), "mask": P(AXIS)}, P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), metrics_spec),
         check_vma=True,  # collectives must prove the outputs are replicated
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
