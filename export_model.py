@@ -21,7 +21,8 @@ def main():
     parser.add_argument("--model", "-m", default="checkpoints/model_S_boundary_512x512.pth",
                         help="Checkpoint (.pth or .npz)")
     parser.add_argument("--arch", default="unet_s",
-                        choices=["unet", "unet_t", "unet_s", "unet_sa"])
+                        choices=["unet", "unet_t", "unet_s", "unet_sa",
+                                 "unet_pp", "unet_pp_s", "yolov8_seg_s"])
     parser.add_argument("--classes", type=int, default=3)
     parser.add_argument("--bilinear", action="store_true", default=False)
     parser.add_argument("--output", "-o", default=None,

@@ -67,3 +67,24 @@ def test_stablehlo_predictor_matches_live():
         hlo.predict_array(x, out_hw=(100, 60)),
         live.predict_array(x, out_hw=(100, 60)),
     )
+
+
+def test_zoo_dynamic_export():
+    """UNet++ and YOLOv8-seg export with their own H/W divisors (16 / 32)."""
+    from unet_medical_image_contour_segmentation_tpu.models.unet_nested import unet_pp_s
+    from unet_medical_image_contour_segmentation_tpu.models.yolov8_seg import yolov8_seg_s
+
+    for model, shapes in [
+        (unet_pp_s(1, 3), [(1, 64, 64, 1), (2, 96, 128, 1)]),
+        (yolov8_seg_s(1, 3), [(1, 64, 64, 1), (2, 96, 128, 1)]),
+    ]:
+        params, bn_state = model.init(jax.random.PRNGKey(4))
+        data = export_stablehlo(model, params, bn_state, platforms=("cpu",))
+        exported = load_exported(data)
+        for shape in shapes:
+            x = np.random.default_rng(5).random(shape, np.float32)
+            got = exported.call(jnp.asarray(x))
+            want, _ = model.apply(params, bn_state, jnp.asarray(x), train=False)
+            assert got.shape == (*shape[:3], 3)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-3, atol=1e-4)

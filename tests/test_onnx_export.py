@@ -85,3 +85,49 @@ def test_export_onnx_writes_file(tmp_path):
     path = tmp_path / "model.onnx"
     data = export_onnx(model, params, state, str(path))
     assert path.read_bytes() == data and len(data) > 1000
+
+
+from unet_medical_image_contour_segmentation_tpu.engine.onnx_export import (
+    build_unet_pp_onnx, build_yolov8_onnx,
+)
+from unet_medical_image_contour_segmentation_tpu.models.unet_nested import unet_pp_s
+from unet_medical_image_contour_segmentation_tpu.models.yolov8_seg import yolov8_seg_s
+
+
+@pytest.mark.parametrize(
+    "model", [unet_pp_s(1, 3), unet_pp_s(1, 3, bilinear=True),
+              unet_pp_s(1, 2, deep_supervision=True)],
+    ids=["convT", "bilinear", "deep_supervision"],
+)
+def test_unet_pp_serialized_graph_matches_jax(model):
+    params, state = model.init(jax.random.PRNGKey(5))
+    data = build_unet_pp_onnx(
+        jax.tree.map(np.asarray, params), jax.tree.map(np.asarray, state),
+        n_channels=1, n_classes=model.n_classes, bilinear=model.bilinear,
+    )
+    x = np.random.default_rng(6).standard_normal((2, 1, 64, 64)).astype(np.float32)
+    got = run_with_torch(data, x)
+    want, _ = model.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                          train=False)
+    np.testing.assert_allclose(
+        got, np.asarray(want).transpose(0, 3, 1, 2), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_yolov8_serialized_graph_matches_jax():
+    model = yolov8_seg_s(1, 3)
+    params, state = model.init(jax.random.PRNGKey(7))
+    data = build_yolov8_onnx(
+        jax.tree.map(np.asarray, params), jax.tree.map(np.asarray, state),
+        n_channels=1, n_classes=3, depths=model.depths,
+    )
+    m = parse_model(data)
+    assert m["opset"] == 11 and b"batch" in m["input"][0]
+    # 96x64: dynamic H/W (multiples of 32) through the serialized graph
+    x = np.random.default_rng(8).standard_normal((1, 1, 96, 64)).astype(np.float32)
+    got = run_with_torch(data, x)
+    want, _ = model.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                          train=False)
+    np.testing.assert_allclose(
+        got, np.asarray(want).transpose(0, 3, 1, 2), rtol=1e-4, atol=1e-5
+    )

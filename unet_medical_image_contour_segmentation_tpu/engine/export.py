@@ -47,7 +47,10 @@ def export_stablehlo(
         scope = jax.export.SymbolicScope()
         b = jax.export.symbolic_shape("b", scope=scope)[0] if dynamic_batch else 1
         if dynamic_hw:
-            h, w = jax.export.symbolic_shape("16*h, 16*w", scope=scope)
+            # pooling-chain divisibility: 16 for the 4-down UNet family,
+            # 2^(depth-1) for UNet++, 32 for the stride-32 YOLO backbone
+            div = getattr(model, "hw_divisor", 16)
+            h, w = jax.export.symbolic_shape(f"{div}*h, {div}*w", scope=scope)
         else:
             h, w = example_hw
         arg = jax.ShapeDtypeStruct((b, h, w, model.n_channels), jnp.float32)

@@ -26,7 +26,8 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-__all__ = ["export_onnx", "build_unet_onnx", "parse_model", "run_with_torch"]
+__all__ = ["export_onnx", "build_unet_onnx", "build_unet_pp_onnx",
+           "build_yolov8_onnx", "parse_model", "run_with_torch"]
 
 # -- tiny protobuf writer -----------------------------------------------------
 
@@ -177,14 +178,15 @@ def _np(x) -> np.ndarray:
     return np.asarray(x, dtype=np.float32)
 
 
-def _conv(b: _Builder, x: str, w_hwio, bias=None, pads: int = 1) -> str:
+def _conv(b: _Builder, x: str, w_hwio, bias=None, pads: int = 1,
+          stride: int = 1) -> str:
     w = _np(w_hwio).transpose(3, 2, 0, 1)  # HWIO -> OIHW
     ins = [x, b.init("w", w)]
     if bias is not None:
         ins.append(b.init("b", _np(bias)))
     k = w.shape[2]
     return b.add("Conv", ins, kernel_shape=[k, w.shape[3]],
-                 pads=[pads, pads, pads, pads], strides=[1, 1])
+                 pads=[pads, pads, pads, pads], strides=[stride, stride])
 
 
 def _bn(b: _Builder, x: str, p, s) -> str:
@@ -258,14 +260,189 @@ def build_unet_onnx(params, bn_state, *, n_channels: int, n_classes: int,
     return _model(graph, opset)
 
 
+def _conv_transpose(b: _Builder, x: str, p) -> str:
+    w = _np(p["w"]).transpose(2, 3, 0, 1)  # HWIO -> IOHW
+    ins = [x, b.init("wt", w)]
+    if p.get("b") is not None:
+        ins.append(b.init("bt", _np(p["b"])))
+    return b.add("ConvTranspose", ins, kernel_shape=[2, 2], strides=[2, 2])
+
+
+def _resize2(b: _Builder, x: str, mode: str) -> str:
+    scales = b.init("scales", _np([1.0, 1.0, 2.0, 2.0]))
+    roi = b.init("roi", np.zeros((0,), np.float32))
+    if mode == "nearest":
+        # asymmetric+floor == jnp.repeat(2) replication semantics
+        return b.add("Resize", [x, roi, scales], mode="nearest",
+                     coordinate_transformation_mode="asymmetric",
+                     nearest_mode="floor")
+    return b.add("Resize", [x, roi, scales], mode="linear",
+                 coordinate_transformation_mode="align_corners")
+
+
+def build_unet_pp_onnx(params, bn_state, *, n_channels: int, n_classes: int,
+                       bilinear: bool = False, depth: Optional[int] = None,
+                       opset: int = 11) -> bytes:
+    """Eval-mode UNet++ forward -> ONNX ModelProto bytes.
+
+    Mirrors models/unet_nested.py's ``_apply_nhwc`` (the reference *imports*
+    UNetPlusPlus from a file absent from its repo, ``train.py:16``; this is
+    the deployment contract for our runnable equivalent).  Requires H and W
+    multiples of 2^(depth-1) at runtime, like the StableHLO export.
+    """
+    if depth is None:  # infer from the params (x0_0 .. x{d-1}_0 backbone)
+        depth = 1 + max(int(k[1:].split("_")[0]) for k in params if k.startswith("x"))
+    b = _Builder()
+    deep_supervision = "outc" not in params
+
+    nodes: Dict[Tuple[int, int], str] = {}
+    x = "input"
+    for i in range(depth):
+        inp = x if i == 0 else b.add("MaxPool", [nodes[(i - 1, 0)]],
+                                     kernel_shape=[2, 2], strides=[2, 2])
+        nodes[(i, 0)] = _double_conv(b, inp, params[f"x{i}_0"], bn_state[f"x{i}_0"])
+
+    for j in range(1, depth):
+        for i in range(depth - j):
+            skips = [nodes[(i, k)] for k in range(j)]
+            src = nodes[(i + 1, j - 1)]
+            if bilinear:
+                upped = _resize2(b, src, "linear")
+            else:
+                upped = _conv_transpose(b, src, params[f"up{i}_{j}"])
+            cat = b.add("Concat", skips + [upped], axis=1)
+            nodes[(i, j)] = _double_conv(b, cat, params[f"x{i}_{j}"],
+                                         bn_state[f"x{i}_{j}"])
+
+    if deep_supervision:
+        heads = [
+            _conv(b, nodes[(0, j)], params[f"out{j}"]["w"],
+                  bias=params[f"out{j}"].get("b"), pads=0)
+            for j in range(1, depth)
+        ]
+        acc = heads[0]
+        for h in heads[1:]:
+            acc = b.add("Add", [acc, h])
+        logits = b.add("Mul", [acc, b.init("invn", _np(1.0 / len(heads)))])
+    else:
+        outc = params["outc"]
+        logits = _conv(b, nodes[(0, depth - 1)], outc["w"], bias=outc.get("b"),
+                       pads=0)
+    b.nodes.append(_node("Identity", [logits], ["output"], name="out"))
+
+    graph = _graph(
+        b.nodes, "unet_pp", b.inits,
+        [_value_info("input", ["batch", n_channels, "height", "width"])],
+        [_value_info("output", ["batch", n_classes, "height", "width"])],
+    )
+    return _model(graph, opset)
+
+
+def _silu(b: _Builder, x: str) -> str:
+    return b.add("Mul", [x, b.add("Sigmoid", [x])])
+
+
+def _cbs_onnx(b: _Builder, x: str, p, s, stride: int = 1) -> str:
+    k = _np(p["conv"]["w"]).shape[0]
+    y = _conv(b, x, p["conv"]["w"], pads=k // 2, stride=stride)
+    return _silu(b, _bn(b, y, p["bn"], s["bn"]))
+
+
+def _slice_ch(b: _Builder, x: str, start: int, end: int) -> str:
+    return b.add("Slice", [
+        x,
+        b.init("starts", np.asarray([start], np.int64)),
+        b.init("ends", np.asarray([end], np.int64)),
+        b.init("axes", np.asarray([1], np.int64)),
+    ])
+
+
+def _c2f_onnx(b: _Builder, x: str, p, s, n: int) -> str:
+    y = _cbs_onnx(b, x, p["cv1"], s["cv1"])
+    c = _np(p["cv1"]["conv"]["w"]).shape[-1] // 2
+    parts = [_slice_ch(b, y, 0, c), _slice_ch(b, y, c, 2 * c)]
+    for i in range(n):
+        t = _cbs_onnx(b, parts[-1], p[f"m{i}"]["cv1"], s[f"m{i}"]["cv1"])
+        t = _cbs_onnx(b, t, p[f"m{i}"]["cv2"], s[f"m{i}"]["cv2"])
+        parts.append(b.add("Add", [parts[-1], t]))  # residual shortcut
+    cat = b.add("Concat", parts, axis=1)
+    return _cbs_onnx(b, cat, p["cv2"], s["cv2"])
+
+
+def build_yolov8_onnx(params, bn_state, *, n_channels: int, n_classes: int,
+                      depths: Sequence[int] = (1, 2, 2, 1),
+                      opset: int = 11) -> bytes:
+    """Eval-mode YOLOv8-seg forward -> ONNX ModelProto bytes.
+
+    Mirrors models/yolov8_seg.py's ``_apply_nhwc`` (the reference imports
+    YOLOv8_Seg_S from an absent ``yolo/`` dir, ``train.py:18`` /
+    ``export_model.py:5``).  SiLU is emitted as Sigmoid+Mul (opset 11 has no
+    native SiLU).  Requires H and W multiples of 32 at runtime (stride-32
+    backbone).
+    """
+    b = _Builder()
+    p, s = params, bn_state
+
+    y = _cbs_onnx(b, "input", p["stem"], s["stem"], stride=2)
+    feats = {}
+    for i in range(4):
+        y = _cbs_onnx(b, y, p[f"down{i}"], s[f"down{i}"], stride=2)
+        y = _c2f_onnx(b, y, p[f"c2f{i}"], s[f"c2f{i}"], depths[i])
+        feats[i] = y
+
+    # SPPF: cv1 -> 5x5 s1 SAME maxpool x3 -> concat -> cv2
+    y = _cbs_onnx(b, y, p["sppf"]["cv1"], s["sppf"]["cv1"])
+    pools = [y]
+    for _ in range(3):
+        pools.append(b.add("MaxPool", [pools[-1]], kernel_shape=[5, 5],
+                           strides=[1, 1], pads=[2, 2, 2, 2]))
+    y = _cbs_onnx(b, b.add("Concat", pools, axis=1), p["sppf"]["cv2"],
+                  s["sppf"]["cv2"])
+
+    # FPN top-down (nearest x2 upsample)
+    p4 = _c2f_onnx(b, b.add("Concat", [_resize2(b, y, "nearest"), feats[2]],
+                            axis=1), p["n4"], s["n4"], depths[2])
+    p3 = _c2f_onnx(b, b.add("Concat", [_resize2(b, p4, "nearest"), feats[1]],
+                            axis=1), p["n3"], s["n3"], depths[1])
+
+    # proto head back to full resolution
+    t = _conv_transpose(b, p3, p["p_up1"])
+    t = _cbs_onnx(b, t, p["p_c1"], s["p_c1"])
+    t = _conv_transpose(b, t, p["p_up2"])
+    t = _cbs_onnx(b, t, p["p_c2"], s["p_c2"])
+    t = _conv_transpose(b, t, p["p_up3"])
+    t = _cbs_onnx(b, t, p["p_c3"], s["p_c3"])
+    logits = _conv(b, t, p["head"]["w"], bias=p["head"].get("b"), pads=0)
+    b.nodes.append(_node("Identity", [logits], ["output"], name="out"))
+
+    graph = _graph(
+        b.nodes, "yolov8_seg", b.inits,
+        [_value_info("input", ["batch", n_channels, "height", "width"])],
+        [_value_info("output", ["batch", n_classes, "height", "width"])],
+    )
+    return _model(graph, opset)
+
+
 def export_onnx(model, params, bn_state, path: str, *, opset: int = 11) -> bytes:
-    """Write the ONNX artifact for a UNet-family model; returns the bytes."""
+    """Write the ONNX artifact for any model in the zoo; returns the bytes."""
     import jax
 
     params = jax.tree.map(np.asarray, params)
     bn_state = jax.tree.map(np.asarray, bn_state)
-    data = build_unet_onnx(params, bn_state, n_channels=model.n_channels,
-                           n_classes=model.n_classes, opset=opset)
+    name = getattr(model, "name", "")
+    if name.startswith("unet_pp"):
+        data = build_unet_pp_onnx(
+            params, bn_state, n_channels=model.n_channels,
+            n_classes=model.n_classes, bilinear=model.bilinear, opset=opset,
+        )
+    elif name.startswith("yolo"):
+        data = build_yolov8_onnx(
+            params, bn_state, n_channels=model.n_channels,
+            n_classes=model.n_classes, depths=model.depths, opset=opset,
+        )
+    else:
+        data = build_unet_onnx(params, bn_state, n_channels=model.n_channels,
+                               n_classes=model.n_classes, opset=opset)
     with open(path, "wb") as f:
         f.write(data)
     return data
@@ -417,7 +594,9 @@ def run_with_torch(data: bytes, x_nchw: np.ndarray) -> np.ndarray:
         ins = [env[i] for i in n["input"]]
         if op == "Conv":
             p = a.get("pads", [0, 0, 0, 0])[0]
-            y = F.conv2d(ins[0], ins[1], ins[2] if len(ins) > 2 else None, padding=p)
+            st = a.get("strides", [1, 1])[0]
+            y = F.conv2d(ins[0], ins[1], ins[2] if len(ins) > 2 else None,
+                         stride=st, padding=p)
         elif op == "ConvTranspose":
             y = F.conv_transpose2d(ins[0], ins[1], ins[2] if len(ins) > 2 else None,
                                    stride=a["strides"][0])
@@ -427,13 +606,27 @@ def run_with_torch(data: bytes, x_nchw: np.ndarray) -> np.ndarray:
         elif op == "Relu":
             y = F.relu(ins[0])
         elif op == "MaxPool":
-            y = F.max_pool2d(ins[0], a["kernel_shape"][0], a["strides"][0])
+            p = a.get("pads", [0, 0, 0, 0])[0]
+            y = F.max_pool2d(ins[0], a["kernel_shape"][0], a["strides"][0],
+                             padding=p)
         elif op == "Resize":
-            assert a["mode"] == "linear"
-            assert a["coordinate_transformation_mode"] == "align_corners"
             sc = ins[2]
-            y = F.interpolate(ins[0], scale_factor=(float(sc[2]), float(sc[3])),
-                              mode="bilinear", align_corners=True)
+            if a["mode"] == "nearest":
+                assert a["coordinate_transformation_mode"] == "asymmetric"
+                y = ins[0].repeat_interleave(int(sc[2]), dim=2) \
+                          .repeat_interleave(int(sc[3]), dim=3)
+            else:
+                assert a["mode"] == "linear"
+                assert a["coordinate_transformation_mode"] == "align_corners"
+                y = F.interpolate(ins[0], scale_factor=(float(sc[2]), float(sc[3])),
+                                  mode="bilinear", align_corners=True)
+        elif op == "Slice":
+            starts, ends, axes = (t.tolist() for t in ins[1:4])
+            y = ins[0]
+            for st_, en_, ax_ in zip(starts, ends, axes):
+                y = y.narrow(int(ax_), int(st_), int(en_) - int(st_))
+        elif op == "Add":
+            y = ins[0] + ins[1]
         elif op == "Concat":
             y = torch.cat(ins, dim=a["axis"])
         elif op == "ReduceMean":

@@ -45,6 +45,11 @@ class UNetPlusPlus:
     def depth(self) -> int:
         return len(self.widths)
 
+    @property
+    def hw_divisor(self) -> int:
+        """H/W divisibility the pooling chain requires (export contract)."""
+        return 2 ** (self.depth - 1)
+
     def init(self, key):
         w = self.widths
         d = self.depth

@@ -207,6 +207,11 @@ class YOLOv8Seg:
     layout: str = "auto"  # "auto" | "nhwc" | "wide" (see _apply_wide)
     name: str = "yolov8_seg_s"
 
+    @property
+    def hw_divisor(self) -> int:
+        """H/W divisibility the stride-32 backbone requires (export contract)."""
+        return 32
+
     def init(self, key):
         w = self.widths
         d = self.depths
