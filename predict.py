@@ -27,6 +27,15 @@ def get_args():
     parser.add_argument("--no-postprocess", dest="postprocess", action="store_false",
                         help="Skip cv2 mask cleanup (the reference's -p cannot be disabled; ours can)")
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--tile", type=int, default=512,
+                        help="Tile size for huge scans (overlapping-window "
+                             "inference; the reference would resize or OOM)")
+    parser.add_argument("--tile-halo", type=int, default=96,
+                        help="Tile overlap margin; >= the receptive-field "
+                             "radius keeps tiling exact (96 covers UNet_S)")
+    parser.add_argument("--tile-threshold", type=int, default=None,
+                        help="Pixel count above which tiling kicks in "
+                             "(default 1536^2; 0 disables)")
     parser.add_argument("--arch", default="unet",
                         choices=["unet", "unet_t", "unet_s", "unet_sa",
                                  "unet_pp", "unet_pp_s", "yolov8_seg_s"],
@@ -71,7 +80,11 @@ def main():
                 StableHLOPredictor,
             )
 
-            predictor = StableHLOPredictor.from_file(args.model, batch_size=args.batch_size)
+            predictor = StableHLOPredictor.from_file(
+                args.model, batch_size=args.batch_size)
+            predictor.tile, predictor.tile_halo = args.tile, args.tile_halo
+            if args.tile_threshold is not None:
+                predictor.tile_threshold = args.tile_threshold
         else:
             params, bn_state, _ = load_weights(args.model, bilinear=args.bilinear,
                                                use_attention=(args.arch == "unet_sa"))
@@ -79,7 +92,10 @@ def main():
                               bilinear=args.bilinear, compute_dtype=jnp.bfloat16)
             params = jax.tree.map(jnp.asarray, params)
             bn_state = jax.tree.map(jnp.asarray, bn_state)
-            predictor = Predictor(model, params, bn_state, batch_size=args.batch_size)
+            predictor = Predictor(
+                model, params, bn_state, batch_size=args.batch_size,
+                tile=args.tile, tile_halo=args.tile_halo,
+                tile_threshold=args.tile_threshold)
     except Exception:
         logging.exception("Model load failed")
         return 1

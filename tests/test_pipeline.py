@@ -239,3 +239,61 @@ class TestPredictor:
         img = Image.fromarray(np.zeros((100, 60), dtype=np.uint8))
         mask = predictor.predict_image(img, postprocess=False)
         assert mask.shape == (100, 60)
+
+
+class TestTiledPredictor:
+    def test_tiled_matches_dense_at_real_halo(self):
+        """unet_s, 1024x1024, tile 512 / halo 96: tiling is EXACT vs dense."""
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_s
+
+        model = unet_s(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(3))
+        rng = np.random.default_rng(4)
+        images = rng.random((1, 1024, 1024, 1), np.float32)
+
+        dense = Predictor(model, params, bn_state, tile_threshold=0)
+        tiled = Predictor(model, params, bn_state, tile=512, tile_halo=96,
+                          tile_threshold=512 * 512)  # force tiling at 1024^2
+        d = dense.predict_array(images)
+        t = tiled.predict_array(images)
+        assert t.shape == d.shape == (1, 1024, 1024)
+        np.testing.assert_array_equal(t, d)
+
+    def test_tiling_triggers_and_handles_ragged_sizes(self):
+        """Non-multiple-of-tile sizes pad+crop correctly; small stays dense."""
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(5))
+        p = Predictor(model, params, bn_state, tile=64, tile_halo=48,
+                      tile_threshold=96 * 96)
+        rng = np.random.default_rng(6)
+        img = rng.random((1, 160, 224, 1), np.float32)  # not tile multiples
+        out = p.predict_array(img)
+        assert out.shape == (1, 160, 224)
+        dense = Predictor(model, params, bn_state, tile_threshold=0)
+        np.testing.assert_array_equal(out, dense.predict_array(img))
+
+    def test_predict_paths_uses_tiling(self, tmp_path):
+        from PIL import Image as PILImage
+
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        rng = np.random.default_rng(8)
+        p = tmp_path / "big.png"
+        PILImage.fromarray(rng.integers(0, 255, (192, 192), dtype=np.uint8)).save(p)
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(7))
+        pred = Predictor(model, params, bn_state, tile=64, tile_halo=48,
+                         tile_threshold=128 * 128)
+        calls = []
+        orig = pred._tiled_predict
+        pred._tiled_predict = lambda imgs: (calls.append(1), orig(imgs))[1]
+        results = pred.predict_paths([str(p)], output_dir=str(tmp_path / "o"),
+                                     postprocess=False)
+        assert calls, "tiled path was not taken"
+        assert (tmp_path / "o" / "big.png").exists()
+        assert results[str(p)].shape == (192, 192)

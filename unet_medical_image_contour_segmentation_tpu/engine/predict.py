@@ -59,12 +59,22 @@ class Predictor:
     mode, and skips every BN pass over the big activation tensors.
     """
 
+    # dense-path pixel budget: above this, predict tiles the image (the
+    # reference would resize or OOM, /root/reference/predict.py:26); 0 = never
+    TILE_THRESHOLD = 1536 * 1536
+
     def __init__(self, model, params, bn_state, batch_size: int = 8,
-                 fold_bn: bool = True):
+                 fold_bn: bool = True, tile: int = 512, tile_halo: int = 96,
+                 tile_threshold: Optional[int] = None):
         self.model = model
         self.params = params
         self.bn_state = bn_state
         self.batch_size = batch_size
+        self.tile = tile
+        self.tile_halo = tile_halo
+        self.tile_threshold = (
+            self.TILE_THRESHOLD if tile_threshold is None else tile_threshold
+        )
         # per-instance jit cache keyed by (in_hw, out_hw) — an lru_cache on the
         # bound method would pin the instance (and its params) process-wide
         self._step_cache: Dict[Tuple, object] = {}
@@ -113,10 +123,72 @@ class Predictor:
 
         return run
 
+    def _use_tiling(self, in_hw, out_hw) -> bool:
+        """Tile when the image exceeds the dense-path pixel budget.
+
+        Only when no back-resize is requested: tiling produces class indices,
+        and the reference's logits-then-bilinear-resize contract
+        (predict.py:26) cannot be reproduced from stitched argmax cores.
+        (predict's preprocess runs at scale=1, so out_hw == in_hw there.)
+        """
+        if self.tile_threshold <= 0 or tuple(out_hw) != tuple(in_hw):
+            return False
+        return in_hw[0] * in_hw[1] > self.tile_threshold
+
+    def _build_tile_step(self, win: int, core: int, halo: int):
+        """Jitted (params, bn_state, [B,win,win,C]) -> [B,core,core] argmax."""
+        model = self.model
+        folded = self.folded_params
+
+        @jax.jit
+        def run(params, bn_state, tile_img):
+            if folded is not None:
+                logits, _ = model.apply(folded, None, tile_img, train=False)
+            else:
+                logits, _ = model.apply(params, bn_state, tile_img, train=False)
+            pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            return pred[:, halo: halo + core, halo: halo + core].astype(jnp.int32)
+
+        return run
+
+    def _tiled_predict(self, images: np.ndarray) -> np.ndarray:
+        """[B,H,W,C] -> [B,H,W] int32 via overlapping tiles (exact: the halo
+        covers the receptive field — parallel/spatial.py:tiled_inference is
+        the library form; this variant caches the jitted tile forward and
+        stitches on the host so a 4096**2 scan never materializes densely."""
+        tile, halo = self.tile, self.tile_halo
+        n, h, w = images.shape[:3]
+        c = images.shape[3] if images.ndim == 4 else 1
+        if images.ndim == 3:
+            images = images[..., None]
+        ph, pw = -h % tile, -w % tile
+        padded = np.pad(images, ((0, 0), (halo, halo + ph), (halo, halo + pw), (0, 0)))
+        gh, gw = (h + ph) // tile, (w + pw) // tile
+        win = tile + 2 * halo
+
+        key = ("tile", win, tile, halo)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_tile_step(win, tile, halo)
+        run = self._step_cache[key]
+
+        out = np.empty((n, h + ph, w + pw), np.int32)
+        pending = []  # (i, j, device array): fetch after all dispatches
+        for i in range(gh):
+            for j in range(gw):
+                window = padded[:, i * tile: i * tile + win, j * tile: j * tile + win]
+                t = jnp.asarray(window[..., 0]) \
+                    if (c == 1 and self._rank3_transfer) else jnp.asarray(window)
+                pending.append((i, j, run(self.params, self.bn_state, t)))
+        for i, j, dev in pending:
+            out[:, i * tile:(i + 1) * tile, j * tile:(j + 1) * tile] = np.asarray(dev)
+        return out[:, :h, :w]
+
     def predict_array(self, images: np.ndarray, out_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
         """images: [B, H, W, C] float -> [B, outH, outW] int32 class indices."""
         in_hw = images.shape[1:3]
         out_hw = tuple(out_hw or in_hw)
+        if self._use_tiling(in_hw, out_hw):
+            return self._tiled_predict(images)
         run = self._step(tuple(in_hw), out_hw)
         if images.ndim == 4 and images.shape[-1] == 1:
             images = images[..., 0]  # rank-3 transfer avoids HBM lane padding
@@ -206,6 +278,8 @@ class Predictor:
         Subclass override point for custom inference backends.
         """
         in_hw = tuple(images.shape[1:3])
+        if self._use_tiling(in_hw, in_hw):
+            return self._tiled_predict(images)
         run = self._step(in_hw, in_hw)
         if self._rank3_transfer and images.ndim == 4 and images.shape[-1] == 1:
             images = images[..., 0]
@@ -226,9 +300,17 @@ class StableHLOPredictor(Predictor):
 
     _rank3_transfer = False  # exported signature is rank-4 (B, H, W, C)
 
-    def __init__(self, exported_bytes: bytes, batch_size: int = 8):
+    def __init__(self, exported_bytes: bytes, batch_size: int = 8,
+                 tile: int = 512, tile_halo: int = 96,
+                 tile_threshold: Optional[int] = None):
         self.exported = jax.export.deserialize(bytearray(exported_bytes))
+        self.params = self.bn_state = None  # baked into the exported module
         self.batch_size = batch_size
+        self.tile = tile
+        self.tile_halo = tile_halo
+        self.tile_threshold = (
+            self.TILE_THRESHOLD if tile_threshold is None else tile_threshold
+        )
         self._step_cache: Dict[Tuple, object] = {}
 
     @classmethod
@@ -249,9 +331,22 @@ class StableHLOPredictor(Predictor):
 
         return run
 
+    def _build_tile_step(self, win: int, core: int, halo: int):
+        exported = self.exported
+
+        @jax.jit
+        def run(params, bn_state, tile_img):  # params/bn ignored: baked in
+            logits = exported.call(tile_img)
+            pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            return pred[:, halo: halo + core, halo: halo + core].astype(jnp.int32)
+
+        return run
+
     def predict_array(self, images, out_hw=None):
         in_hw = images.shape[1:3]
         out_hw = tuple(out_hw or in_hw)
+        if self._use_tiling(in_hw, out_hw):
+            return self._tiled_predict(np.asarray(images))
         run = self._step(tuple(in_hw), out_hw)
         return np.asarray(run(jnp.asarray(images)))
 
