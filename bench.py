@@ -31,7 +31,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 BASELINE_CACHE = Path(__file__).resolve().parent / ".bench_baseline.json"
 
 
-def bench_ours(hw, batch, n_steps, model_name="unet_s", bilinear=False):
+def _med_spread(ts):
+    """(median, spread%) of a list of per-step times."""
+    ts = sorted(ts)
+    med = ts[len(ts) // 2]
+    return med, (ts[-1] - ts[0]) / med * 100.0
+
+
+def bench_ours(hw, batch, n_steps, model_name="unet_s", bilinear=False,
+               repeats=3):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -68,10 +76,15 @@ def bench_ours(hw, batch, n_steps, model_name="unet_s", bilinear=False):
 
     state2, loss = train_chain(state)       # compile + run
     _ = float(loss)
-    t0 = time.perf_counter()
-    state2, loss = train_chain(state)
-    _ = float(loss)                          # real completion barrier
-    t_train = (time.perf_counter() - t0) / n_steps
+    # median of `repeats` timed chains: CLAUDE.md documents 5-15% drift on
+    # this tunneled platform; the spread is reported alongside the number
+    t_trains = []
+    for _rep in range(repeats):
+        t0 = time.perf_counter()
+        state2, loss = train_chain(state)
+        _ = float(loss)                      # real completion barrier
+        t_trains.append((time.perf_counter() - t0) / n_steps)
+    t_train, train_spread = _med_spread(t_trains)
 
     from unet_medical_image_contour_segmentation_tpu.engine.evaluate import eval_forward
 
@@ -100,11 +113,14 @@ def bench_ours(hw, batch, n_steps, model_name="unet_s", bilinear=False):
         return jnp.sum(out[0, 0, 0])
 
     _ = float(predict_chain(image))          # compile + run
-    t0 = time.perf_counter()
-    _ = float(predict_chain(image))
-    t_pred = (time.perf_counter() - t0) / n_steps
+    t_preds = []
+    for _rep in range(repeats):
+        t0 = time.perf_counter()
+        _ = float(predict_chain(image))
+        t_preds.append((time.perf_counter() - t0) / n_steps)
+    t_pred, pred_spread = _med_spread(t_preds)
 
-    return batch / t_train, batch / t_pred
+    return batch / t_train, batch / t_pred, train_spread, pred_spread
 
 
 def bench_torch_baseline(hw, batch, n_steps, model_name="unet_s", bilinear=False,
@@ -171,6 +187,84 @@ def bench_torch_baseline(hw, batch, n_steps, model_name="unet_s", bilinear=False
     return batch / t_train, batch / t_pred
 
 
+def bench_latency(hw=(512, 512), n_steps=128, models=("unet_t", "unet_s", "unet"),
+                  torch_steps=5):
+    """b=1 single-slice predict latency per model (VERDICT r2 item 5).
+
+    The reference's only published perf numbers are per-model inference
+    latency code comments (/root/reference/train.py:250-254: UNet_T "1 ms",
+    UNet_S "5 ms", UNet "40 ms", hardware unspecified).  This measures the
+    same quantity on TPU — b=1, 512x512, production (BN-folded) eval path —
+    with the chained-scan methodology (the per-DISPATCH platform overhead of
+    this tunneled TPU, ~33 ms, would otherwise swamp a millisecond-scale
+    model; steady-state pipelined latency is the honest per-slice number),
+    and on torch-CPU for the runnable baseline.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from unet_medical_image_contour_segmentation_tpu.engine.evaluate import eval_forward
+    from unet_medical_image_contour_segmentation_tpu.engine.train import init_train_state
+    from unet_medical_image_contour_segmentation_tpu.models.fold_bn import fold_params
+    from unet_medical_image_contour_segmentation_tpu.models.unet import get_model
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.random((1, *hw), np.float32))
+    _ = float(jnp.sum(image))  # readback warmup
+
+    ref_comments = {"unet_t": 1.0, "unet_s": 5.0, "unet": 40.0}
+    out = {}
+    for name in models:
+        model = get_model(name, n_channels=1, n_classes=3,
+                          compute_dtype=jnp.bfloat16)
+        state = init_train_state(model, jax.random.PRNGKey(0))
+        folded = fold_params(state.params, state.bn_state)
+
+        @jax.jit
+        def chain(x, _m=model, _p=folded):
+            def body(carry, _):
+                pred = eval_forward(_m, 3, _p, None, carry)
+                return carry + 1e-12 * pred.astype(carry.dtype), ()
+            y, _ = lax.scan(body, x, None, length=n_steps)
+            return jnp.sum(y[0, 0])
+
+        _ = float(chain(image))  # compile + run
+        t0 = time.perf_counter()
+        _ = float(chain(image))
+        tpu_ms = (time.perf_counter() - t0) / n_steps * 1e3
+        out[name] = {"tpu_ms": round(tpu_ms, 3)}
+        if name in ref_comments:
+            out[name]["ref_comment_ms"] = ref_comments[name]
+
+    # torch-CPU b=1 latency on the matching reference models
+    try:
+        sys.path.insert(0, "/root/reference")
+        import torch
+        from unet.unet_model import UNet, UNet_S, UNet_SA, UNet_T
+
+        ref_models = {"unet": UNet, "unet_t": UNet_T, "unet_s": UNet_S,
+                      "unet_sa": UNet_SA}
+        timg = torch.from_numpy(rng.random((1, 1, *hw), np.float32)).to(
+            memory_format=torch.channels_last)
+        for name in models:
+            if name not in ref_models:
+                continue
+            tm = ref_models[name](1, 3, bilinear=False).to(
+                memory_format=torch.channels_last).eval()
+            with torch.no_grad():
+                tm(timg)  # warmup
+                t0 = time.perf_counter()
+                for _ in range(torch_steps):
+                    tm(timg).argmax(dim=1)
+                out[name]["torch_cpu_ms"] = round(
+                    (time.perf_counter() - t0) / torch_steps * 1e3, 1)
+    except Exception:
+        pass
+    return out
+
+
 def combined(train_sps, pred_sps):
     """Throughput of a balanced train+predict workload (equal slice counts)."""
     return 2.0 / (1.0 / train_sps + 1.0 / pred_sps)
@@ -190,11 +284,32 @@ def main():
     parser.add_argument("--bilinear", action="store_true", default=False)
     parser.add_argument("--baseline-steps", type=int, default=3)
     parser.add_argument("--refresh-baseline", action="store_true")
+    parser.add_argument("--repeats", type=int, default=3,
+                        help="timed chain repetitions; the JSON reports the "
+                             "median and max-min spread")
+    parser.add_argument("--latency", action="store_true",
+                        help="b=1 per-model predict latency instead of the "
+                             "throughput benchmark")
     args = parser.parse_args()
     hw = (args.hw, args.hw)
 
-    train_sps, pred_sps = bench_ours(hw, args.batch, args.steps, args.model,
-                                     args.bilinear)
+    if args.latency:
+        lat = bench_latency(hw, n_steps=args.steps)
+        ref = {m: v for m, v in lat.items() if "ref_comment_ms" in v}
+        # headline: unet_s latency vs the reference's "5 ms" comment
+        head = lat.get("unet_s", next(iter(lat.values())))
+        print(json.dumps({
+            "metric": f"{args.hw}x{args.hw} b=1 predict latency (unet_s)",
+            "value": head["tpu_ms"],
+            "unit": "ms",
+            "vs_baseline": (round(head["torch_cpu_ms"] / head["tpu_ms"], 2)
+                            if "torch_cpu_ms" in head else None),
+            "per_model": lat,
+        }))
+        return
+
+    train_sps, pred_sps, train_spread, pred_spread = bench_ours(
+        hw, args.batch, args.steps, args.model, args.bilinear, args.repeats)
     ours = combined(train_sps, pred_sps)
 
     # Logical-FLOP honesty: slices/s alone hides the MAC inflation of the s2d
@@ -253,6 +368,8 @@ def main():
         "vs_baseline": round(ours / baseline, 2) if baseline else None,
         "train_slices_per_s": round(train_sps, 2),
         "predict_slices_per_s": round(pred_sps, 2),
+        "train_spread_pct": round(train_spread, 1),
+        "predict_spread_pct": round(pred_spread, 1),
         "baseline_combined_slices_per_s": round(baseline, 2) if baseline else None,
         "batch": args.batch,
         **flops_fields,

@@ -87,26 +87,47 @@ def _double_conv(params, state, x, bw, *, train, cd, axis_name, split_cs=None):
                "bn2": {"mean": bn2[0], "var": bn2[1]}}
 
 
+# Block width for the attention conv7: feats has 2 logical channels, so
+# 64 sub-columns * 2 = 128 dense lanes.  Module-level so probes can A/B
+# the pre-r3 behavior (bw_att == skip bw) by monkeypatching.
+ATT_CONV_BW = 64
+
+
 def _attention(params, x, bw, c, *, cd, h_fold=True):
     """SpatialAttention on a wide-bw skip tensor (exact reference semantics).
 
-    Deliberately written as the naive rank-5 grouped reduce + broadcast
-    multiply.  A lane-space rewrite (channel mean as an MXU matmul with f32
-    accumulation, max on bf16 — exact since max commutes with the monotone
-    cast, broadcast as a 0/1 matmul) measured 25-40%% faster in ISOLATION
-    (fwd+vjp 3.90 -> 2.29 ms at the C=16 level) but 7%% SLOWER in the full
-    unet_sa train step (32.5 -> 34.8 ms, interleaved same-process A/B):
-    the rank-5 elementwise pipeline fuses into the surrounding BN/ReLU
-    producers and concat/conv consumers, and the dot_generals break those
-    fusions.  Same lesson as the round-1 Pallas im2col conv — see CLAUDE.md.
+    The mean/max reduce is deliberately the naive rank-5 grouped reduce +
+    broadcast multiply.  A lane-space rewrite (channel mean as an MXU matmul
+    with f32 accumulation, max on bf16, broadcast as a 0/1 matmul) measured
+    25-40%% faster in ISOLATION (fwd+vjp 3.90 -> 2.29 ms at the C=16 level)
+    but 7%% SLOWER in the full unet_sa train step (32.5 -> 34.8 ms,
+    interleaved same-process A/B): the rank-5 elementwise pipeline fuses
+    into the surrounding BN/ReLU producers and concat/conv consumers, and
+    the dot_generals break those fusions.  See CLAUDE.md.
+
+    The conv7, however, runs REBLOCKED to ``bw_att = ATT_CONV_BW`` dense
+    lanes (r3): at the skip's own bw the 2-channel feats map is lane-padded
+    8-64x on input and 16-128x on output, so the conv7's PHYSICAL MACs
+    (~18 GMAC/slice summed over unet_sa's four levels — R*7*128^2 per block
+    position) rival the entire rest of the model.  Reblocking is a pure
+    reshape and conv_wide is layout-exact, so the result is unchanged.
     """
     xg = x.astype(jnp.float32).reshape(*x.shape[:-1], bw, c)
     avg = jnp.mean(xg, axis=-1)
     mx = jnp.max(xg, axis=-1)
     feats = jnp.stack([avg, mx], axis=-1)            # (..., bw, 2)
     feats = feats.reshape(*x.shape[:-1], bw * 2).astype(x.dtype)
-    att = W.conv_wide(feats, params["conv"]["w"], bw, compute_dtype=cd,
-                      h_fold=h_fold)
+    w_total = feats.shape[-2] * bw                   # logical width
+    bw_att = ATT_CONV_BW
+    while w_total % bw_att:
+        bw_att //= 2
+    if bw_att > bw:
+        att = W.conv_wide(W.reblock(feats, bw, bw_att), params["conv"]["w"],
+                          bw_att, compute_dtype=cd, h_fold=False)
+        att = W.reblock(att, bw_att, bw)
+    else:
+        att = W.conv_wide(feats, params["conv"]["w"], bw, compute_dtype=cd,
+                          h_fold=h_fold)
     att = jax.nn.sigmoid(att.astype(jnp.float32)).astype(x.dtype)
     y = xg.astype(x.dtype) * att[..., None]
     return y.reshape(x.shape)
