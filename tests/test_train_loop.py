@@ -127,3 +127,38 @@ def test_train_model_bilinear(data_root, tmp_path, monkeypatch):
                save_val_predictions=False, save_checkpoint=False)
     state = train_model(cfg)
     assert int(state.step) == 4
+
+
+def test_train_model_batched_fetch_matches_per_step(data_root, tmp_path,
+                                                    monkeypatch):
+    """nan_check_every>1 drains metric fetches in windows but must produce
+    the identical training trajectory and per-step metric log."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    params = {}
+    for k, tag in ((1, "k1"), (3, "k3")):
+        cfg = _cfg(data_root, tmp_path, nan_check_every=k, epochs=1,
+                   save_val_predictions=False, save_checkpoint=False,
+                   metrics_path=str(tmp_path / f"metrics_{tag}.jsonl"))
+        params[tag] = train_model(cfg).params
+    for a, b in zip(jax.tree.leaves(params["k1"]), jax.tree.leaves(params["k3"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # every step logged exactly once, in order, with equal losses
+    logs = {}
+    for tag in ("k1", "k3"):
+        with open(tmp_path / f"metrics_{tag}.jsonl") as f:
+            rows = [json.loads(ln) for ln in f]
+        logs[tag] = [(r["step"], round(float(r["loss"]), 6))
+                     for r in rows if r.get("kind") == "train_step"]
+    assert logs["k1"] == logs["k3"] and len(logs["k1"]) == 4
+
+
+def test_train_model_nan_aborts(data_root, tmp_path, monkeypatch):
+    """A NaN loss aborts the loop within nan_check_every+1 steps."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(data_root, tmp_path, learning_rate=float("nan"), epochs=1,
+               nan_check_every=2, save_val_predictions=False,
+               save_checkpoint=False)
+    with pytest.raises(RuntimeError, match="NaN"):
+        train_model(cfg)

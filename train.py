@@ -47,6 +47,10 @@ def get_args():
                              "data x spatial GSPMD mesh) for very large scans")
     parser.add_argument("--remat", action="store_true", default=False,
                         help="Rematerialize blocks (activation checkpointing)")
+    parser.add_argument("--nan-check-every", type=int, default=1,
+                        help="Steps between NaN-guard/metric fetches; >1 lets "
+                             "the device run ahead and amortizes host round "
+                             "trips (a NaN still aborts within K+1 steps)")
     parser.add_argument("--no-scheduler-quirk", dest="scheduler_quirk", action="store_false",
                         default=True, help="Step the LR schedule by epoch instead of by Dice")
     parser.add_argument("--cc-loss", action="store_true", default=False,
@@ -107,6 +111,7 @@ def main():
         load=args.load or None,
         save_val_predictions=args.save_val_predictions,
         val_postprocess=args.val_postprocess,
+        nan_check_every=args.nan_check_every,
     )
 
     state = None

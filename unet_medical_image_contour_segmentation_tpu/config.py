@@ -66,6 +66,12 @@ class TrainConfig:
     # misc
     seed: int = 0
     log_every: int = 10
+    nan_check_every: int = 1               # steps between NaN-guard/metric
+                                           # fetches; >1 lets the device run
+                                           # that many steps ahead (one
+                                           # device_get per window) — key on
+                                           # high-fetch-latency links; a NaN
+                                           # still aborts within K+1 steps
     progress: bool = True                  # tqdm running-loss bar (auto-off on non-TTY)
     metrics_path: Optional[str] = None  # JSONL per-step/epoch metric log
 

@@ -285,11 +285,19 @@ def train_model(
     mlog = MetricLogger(cfg.metrics_path)
     lr = cfg.learning_rate  # scheduler sets base lr at construction
     global_step = 0
-    pending = None  # (step_idx, device metrics) — NaN check with 1-step delay
+    # (step_idx, device metrics) queue — the NaN check/metric fetch trails the
+    # dispatched steps by up to nan_check_every (default 1: the reference-like
+    # per-step cadence).  Each fetch SYNCHRONIZES with remote execution, so a
+    # depth-1 queue caps pipelining at one step; raising the cadence lets the
+    # device run nan_check_every steps ahead and drains them in one
+    # device_get.  On the tunneled dev TPU (~0.4 s/fetch) this is the
+    # difference between a fetch-bound and a step-bound CLI loop; a NaN still
+    # aborts within nan_check_every+1 steps.
+    pending = []
 
-    def check_nan(item):
-        step_idx, metrics = item
-        loss_val = float(metrics["loss"])
+    def check_nan(step_idx, fetched):
+        loss_val = float(fetched["loss"])
+        metrics = fetched
         if "cc_probs" in metrics:
             # value-only connected-component penalty (reference train.py:124-132,
             # commented out there): computed host-side on the delayed fetch so
@@ -311,6 +319,18 @@ def train_model(
         mlog.log("train_step", step=step_idx,
                  **{k: v for k, v in metrics.items()})
         return loss_val
+
+    def drain_pending():
+        """Fetch+check every queued step in one device_get; -> (sum, last)."""
+        if not pending:
+            return 0.0, None
+        fetched = jax.device_get([m for _, m in pending])
+        total = last = 0.0
+        for (step_idx, _), host_metrics in zip(pending, fetched):
+            last = check_nan(step_idx, host_metrics)
+            total += last
+        pending.clear()
+        return total, last
 
     from tqdm import tqdm
 
@@ -339,17 +359,16 @@ def train_model(
             global_step += 1
             n_seen += batch["image"].shape[0]
             pbar.update(batch["image"].shape[0])
-            if pending is not None:
-                # one step of delay: this fetch never stalls the in-flight step
-                last_loss = check_nan(pending)
-                epoch_loss += last_loss
+            # drain BEFORE queueing the step just dispatched, so the fetch
+            # only ever waits on already-retired steps (>= 1-step delay)
+            if len(pending) >= max(1, cfg.nan_check_every):
+                window_loss, last_loss = drain_pending()
+                epoch_loss += window_loss
                 pbar.set_postfix(**{"loss (batch)": f"{last_loss:.4f}"})
-            pending = (global_step, metrics)
+            pending.append((global_step, metrics))
             if cfg.log_every and global_step % cfg.log_every == 0:
                 log.info("epoch %d step %d loss(total)=%.5f", epoch, global_step, epoch_loss)
-        if pending is not None:
-            epoch_loss += check_nan(pending)
-            pending = None
+        epoch_loss += drain_pending()[0]
         pbar.close()
         dt = time.perf_counter() - t0
         log.info(
