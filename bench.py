@@ -297,6 +297,9 @@ def main():
     parser.add_argument("--repeats", type=int, default=3,
                         help="timed chain repetitions; the JSON reports the "
                              "median and max-min spread")
+    parser.add_argument("--no-baseline", action="store_true", default=False,
+                        help="Skip the torch-CPU baseline (slow at large "
+                             "batch on few host cores); vs_baseline: null")
     parser.add_argument("--latency", action="store_true",
                         help="b=1 per-model predict latency instead of the "
                              "throughput benchmark")
@@ -359,7 +362,9 @@ def main():
         cache = json.loads(BASELINE_CACHE.read_text())
     if variant == "unet_s" and key not in cache and legacy_key in cache:
         key = legacy_key
-    if key not in cache or args.refresh_baseline:
+    if args.no_baseline:
+        key = None  # report vs_baseline: null rather than measure torch
+    elif key not in cache or args.refresh_baseline:
         base = bench_torch_baseline(hw, args.batch, args.baseline_steps,
                                     args.model, args.bilinear)
         if base is not None:
