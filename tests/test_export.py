@@ -69,6 +69,24 @@ def test_stablehlo_predictor_matches_live():
     )
 
 
+def test_stablehlo_predictor_tiled_matches_dense():
+    """The exported-module tiled path == its own dense forward.
+
+    unet_t's receptive field fits in halo 48; tile 64 + 2*48 = 160 satisfies
+    the exported module's H/W divisibility (16)."""
+    from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+        StableHLOPredictor,
+    )
+
+    model, params, bn_state = _model()
+    data = export_stablehlo(model, params, bn_state, platforms=("cpu",))
+    dense = StableHLOPredictor(data)  # default threshold: no tiling at 128²
+    tiled = StableHLOPredictor(data, tile=64, tile_halo=48, tile_threshold=1)
+    x = np.random.default_rng(6).random((1, 128, 128, 1), np.float32)
+    np.testing.assert_array_equal(tiled.predict_array(x),
+                                  dense.predict_array(x))
+
+
 def test_zoo_dynamic_export():
     """UNet++ and YOLOv8-seg export with their own H/W divisors (16 / 32)."""
     from unet_medical_image_contour_segmentation_tpu.models.unet_nested import unet_pp_s
