@@ -100,3 +100,42 @@ class TestToolCLIs:
         )
         # version_info has no argparse; it must simply run
         assert r.returncode == 0, r.stderr[-500:]
+
+
+class TestSampleCache:
+    def _write_set(self, root):
+        from PIL import Image
+
+        rng = np.random.default_rng(3)
+        (root / "imgs").mkdir()
+        (root / "masks").mkdir()
+        for i in range(2):
+            img = rng.integers(0, 255, (40, 32), dtype=np.uint8)
+            mask = rng.choice([0, 128, 255], (40, 32)).astype(np.uint8)
+            Image.fromarray(img).save(root / "imgs" / f"s{i}.png")
+            Image.fromarray(mask).save(root / "masks" / f"s{i}_mask.png")
+
+    def test_cached_equals_uncached_and_respects_budget(self, tmp_path):
+        from unet_medical_image_contour_segmentation_tpu.data.dataset import (
+            BasicDataset,
+        )
+
+        self._write_set(tmp_path)
+        plain = BasicDataset(tmp_path / "imgs", tmp_path / "masks", scale=0.5)
+        cached = BasicDataset(tmp_path / "imgs", tmp_path / "masks", scale=0.5,
+                              cache_bytes=10**9)
+        for idx in range(len(plain)):
+            a, b = plain[idx], cached[idx]
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["mask"], b["mask"])
+        # second pass is served from the cache (identical objects)
+        assert cached[3] is cached[3]
+        assert len(cached._cache) == len(plain)
+
+        one = cached[0]["image"].nbytes + cached[0]["mask"].nbytes
+        tight = BasicDataset(tmp_path / "imgs", tmp_path / "masks", scale=0.5,
+                             cache_bytes=one)  # room for exactly one sample
+        for idx in range(len(tight)):
+            tight[idx]
+        assert len(tight._cache) == 1
+        assert tight._cache_used <= one

@@ -47,6 +47,10 @@ def get_args():
                              "data x spatial GSPMD mesh) for very large scans")
     parser.add_argument("--remat", action="store_true", default=False,
                         help="Rematerialize blocks (activation checkpointing)")
+    parser.add_argument("--sample-cache-gb", type=float, default=2.0,
+                        help="RAM budget for caching decoded+preprocessed "
+                             "samples (epochs >= 2 skip PNG decode, exact "
+                             "same pixels; 0 disables)")
     parser.add_argument("--nan-check-every", type=int, default=1,
                         help="Steps between NaN-guard/metric fetches; >1 lets "
                              "the device run ahead and amortizes host round "
@@ -112,6 +116,7 @@ def main():
         save_val_predictions=args.save_val_predictions,
         val_postprocess=args.val_postprocess,
         nan_check_every=args.nan_check_every,
+        sample_cache_bytes=int(args.sample_cache_gb * 1e9),
     )
 
     state = None

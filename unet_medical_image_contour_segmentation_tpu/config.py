@@ -66,6 +66,10 @@ class TrainConfig:
     # misc
     seed: int = 0
     log_every: int = 10
+    sample_cache_bytes: int = 0            # >0: cache decoded+preprocessed
+                                           # samples up to this many bytes so
+                                           # epochs >= 2 skip host decode
+                                           # (deterministic aug; 0 = off)
     nan_check_every: int = 1               # steps between NaN-guard/metric
                                            # fetches; >1 lets the device run
                                            # that many steps ahead (one

@@ -60,6 +60,7 @@ class BasicDataset:
         mask_suffix: str = "_mask",
         augment: bool = True,
         scan_mask_values: bool = True,
+        cache_bytes: int = 0,
     ):
         self.images_dir = Path(images_dir)
         self.mask_dir = Path(mask_dir)
@@ -68,6 +69,14 @@ class BasicDataset:
         self.scale = scale
         self.mask_suffix = mask_suffix
         self.augment = augment
+        # Optional ready-sample cache: decode+rotate+preprocess is fully
+        # deterministic per index, so epochs >= 2 can skip the host's decode
+        # path entirely (it is the serial bottleneck on few-core hosts).
+        # Insert-until-full within the byte budget — access is cyclic per
+        # epoch, so eviction would only churn.  0 disables (reference-like).
+        self._cache = {} if cache_bytes > 0 else None
+        self._cache_budget = int(cache_bytes)
+        self._cache_used = 0
 
         self.ids = [
             splitext(f)[0]
@@ -139,6 +148,10 @@ class BasicDataset:
         return self.ids[original_idx]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if self._cache is not None:
+            hit = self._cache.get(idx)
+            if hit is not None:
+                return hit  # consumers stack into fresh batches, never mutate
         original_idx = idx // 4 if self.augment else idx
         rotation_idx = idx % 4 if self.augment else 0
 
@@ -171,7 +184,15 @@ class BasicDataset:
         if not np.all((mask_a >= 0) & (mask_a <= 2)):
             raise AssertionError("mask holds values outside the class range {0,1,2}")
 
-        return {"image": img_a, "mask": mask_a.astype(np.int32)}
+        sample = {"image": img_a, "mask": mask_a.astype(np.int32)}
+        if self._cache is not None:
+            nb = sample["image"].nbytes + sample["mask"].nbytes
+            # GIL-atomic dict ops: concurrent loader threads at worst
+            # recompute a sample, never corrupt the cache
+            if self._cache_used + nb <= self._cache_budget:
+                self._cache[idx] = sample
+                self._cache_used += nb
+        return sample
 
 
 class CarvanaDataset(BasicDataset):

@@ -150,9 +150,11 @@ def train_model(
     if train_set is None:
         root = Path(cfg.data_root)
         train_set = BasicDataset(root / "imgs/train", root / "masks/train", cfg.scale,
-                                 augment=cfg.augment)
+                                 augment=cfg.augment,
+                                 cache_bytes=cfg.sample_cache_bytes)
         val_set = BasicDataset(root / "imgs/val", root / "masks/val", cfg.scale,
-                               augment=cfg.augment)
+                               augment=cfg.augment,
+                               cache_bytes=cfg.sample_cache_bytes)
     if mask_values is None:
         mask_values = list(getattr(train_set, "mask_values", [])) + list(
             getattr(val_set, "mask_values", [])
