@@ -42,6 +42,9 @@ def get_args():
                         help="Architecture for weight files (reference predict.py hardcodes unet)")
     parser.add_argument("--classes", type=int, default=3)
     parser.add_argument("--bilinear", action="store_true", default=False)
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="Serve data-parallel over this many devices "
+                             "(batch sharded, params replicated)")
     return parser.parse_args()
 
 
@@ -95,7 +98,8 @@ def main():
             predictor = Predictor(
                 model, params, bn_state, batch_size=args.batch_size,
                 tile=args.tile, tile_halo=args.tile_halo,
-                tile_threshold=args.tile_threshold)
+                tile_threshold=args.tile_threshold,
+                num_devices=args.num_devices)
     except Exception:
         logging.exception("Model load failed")
         return 1

@@ -222,6 +222,30 @@ class TestPredictor:
             vals = set(np.unique(np.asarray(Image.open(out))))
             assert vals <= {0, 128, 255}
 
+    def test_data_parallel_predictor_matches_single_device(self):
+        """num_devices=4: sharded-batch serving == single device, exactly —
+        including a ragged batch (6 % 4 != 0, padded and cropped back)."""
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(2))
+        single = Predictor(model, params, bn_state)
+        multi = Predictor(model, params, bn_state, num_devices=4)
+        x = np.random.default_rng(8).random((6, 64, 64, 1), np.float32)
+        np.testing.assert_array_equal(multi.predict_array(x),
+                                      single.predict_array(x))
+        # tiled path under the mesh (threshold forces tiling at 128²)
+        s_t = Predictor(model, params, bn_state, tile=64, tile_halo=48,
+                        tile_threshold=1)
+        m_t = Predictor(model, params, bn_state, tile=64, tile_halo=48,
+                        tile_threshold=1, num_devices=2)
+        y = np.random.default_rng(9).random((3, 128, 128, 1), np.float32)
+        np.testing.assert_array_equal(m_t.predict_array(y),
+                                      s_t.predict_array(y))
+
     def test_mask_to_image_value_map(self):
         from unet_medical_image_contour_segmentation_tpu.engine.predict import mask_to_image
 

@@ -57,15 +57,25 @@ class Predictor:
     ``fold_bn=True`` (default) pre-folds the BatchNorm affines into the conv
     weights for the fused s2d inference path — numerically exact for eval
     mode, and skips every BN pass over the big activation tensors.
+
+    ``num_devices=N`` serves data-parallel: params replicated over a 1-D
+    mesh, every batch sharded on dim 0 (ragged batches pad to a device
+    multiple and crop back) — output identical to single-device.
     """
 
     # dense-path pixel budget: above this, predict tiles the image (the
     # reference would resize or OOM, /root/reference/predict.py:26); 0 = never
     TILE_THRESHOLD = 1536 * 1536
 
+    # single-device unless __init__ builds a mesh (subclasses that skip
+    # super().__init__, like StableHLOPredictor, stay single-device)
+    _mesh = None
+    _ndev = 1
+
     def __init__(self, model, params, bn_state, batch_size: int = 8,
                  fold_bn: bool = True, tile: int = 512, tile_halo: int = 96,
-                 tile_threshold: Optional[int] = None):
+                 tile_threshold: Optional[int] = None,
+                 num_devices: Optional[int] = None):
         self.model = model
         self.params = params
         self.bn_state = bn_state
@@ -86,6 +96,39 @@ class Predictor:
                 self.folded_params = fold_params(params, bn_state)
             except (KeyError, TypeError):
                 pass  # no conv+BN pairs to fold: fall back to live BN
+
+        # data-parallel serving: batch sharded over a 1-D mesh, params
+        # replicated; ragged batches pad to a device multiple and crop back
+        self._mesh = None
+        self._ndev = 1
+        if num_devices and num_devices > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import make_data_mesh
+
+            self._mesh = make_data_mesh(num_devices)
+            self._ndev = num_devices
+            rep = NamedSharding(self._mesh, P())
+            self.params = jax.device_put(self.params, rep)
+            if self.bn_state is not None:
+                self.bn_state = jax.device_put(self.bn_state, rep)
+            if self.folded_params is not None:
+                self.folded_params = jax.device_put(self.folded_params, rep)
+
+    def _shard_batch(self, images):
+        """-> (device array [padded to an _ndev multiple, dim 0 sharded], B)."""
+        b = images.shape[0]
+        if self._mesh is None:
+            return jnp.asarray(images), b
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pad = -b % self._ndev
+        images = jnp.asarray(images)
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.repeat(images[-1:], pad, axis=0)]
+            )
+        return jax.device_put(images, NamedSharding(self._mesh, P("data"))), b
 
     def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
         key = (in_hw, out_hw)
@@ -176,11 +219,14 @@ class Predictor:
         for i in range(gh):
             for j in range(gw):
                 window = padded[:, i * tile: i * tile + win, j * tile: j * tile + win]
-                t = jnp.asarray(window[..., 0]) \
-                    if (c == 1 and self._rank3_transfer) else jnp.asarray(window)
+                t, _ = self._shard_batch(
+                    window[..., 0]
+                    if (c == 1 and self._rank3_transfer) else window
+                )
                 pending.append((i, j, run(self.params, self.bn_state, t)))
         for i, j, dev in pending:
-            out[:, i * tile:(i + 1) * tile, j * tile:(j + 1) * tile] = np.asarray(dev)
+            out[:, i * tile:(i + 1) * tile, j * tile:(j + 1) * tile] = \
+                np.asarray(dev)[:n]
         return out[:, :h, :w]
 
     def predict_array(self, images: np.ndarray, out_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
@@ -192,7 +238,8 @@ class Predictor:
         run = self._step(tuple(in_hw), out_hw)
         if images.ndim == 4 and images.shape[-1] == 1:
             images = images[..., 0]  # rank-3 transfer avoids HBM lane padding
-        return np.asarray(run(self.params, self.bn_state, jnp.asarray(images)))
+        x, b = self._shard_batch(images)
+        return np.asarray(run(self.params, self.bn_state, x))[:b]
 
     def predict_image(self, img: Image.Image, postprocess: bool = True) -> np.ndarray:
         """One PIL image -> {0,1,2} mask at the original size."""
@@ -283,7 +330,8 @@ class Predictor:
         run = self._step(in_hw, in_hw)
         if self._rank3_transfer and images.ndim == 4 and images.shape[-1] == 1:
             images = images[..., 0]
-        return self._run_step(run, jnp.asarray(images))
+        x, _ = self._shard_batch(images)  # padded rows drop in the zip-post
+        return self._run_step(run, x)
 
     def _run_step(self, run, images):
         return run(self.params, self.bn_state, images)
