@@ -162,3 +162,34 @@ def test_train_model_nan_aborts(data_root, tmp_path, monkeypatch):
                save_checkpoint=False)
     with pytest.raises(RuntimeError, match="NaN"):
         train_model(cfg)
+
+
+def test_sharded_evaluate_matches_single_device(data_root, tmp_path):
+    """evaluate() with a batch sharding + ragged padding == unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from unet_medical_image_contour_segmentation_tpu.data.dataset import BasicDataset
+    from unet_medical_image_contour_segmentation_tpu.data.loader import DataLoader
+    from unet_medical_image_contour_segmentation_tpu.engine.evaluate import evaluate
+    from unet_medical_image_contour_segmentation_tpu.engine.train import init_train_state
+    from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+    from unet_medical_image_contour_segmentation_tpu.parallel import make_data_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    model = unet_t(1, 3)
+    state = init_train_state(model, jax.random.PRNGKey(5))
+    ds = BasicDataset(data_root / "imgs" / "val", data_root / "masks" / "val",
+                      scale=0.5)
+    # batch 3 over 8 samples: ragged batches of 3/3/2, each padded to 4
+    def loader():
+        return DataLoader(ds, batch_size=3, shuffle=False)
+
+    plain = evaluate(model, state.params, state.bn_state, loader(),
+                     postprocess=False)
+    mesh = make_data_mesh(4)
+    sharded = evaluate(model, state.params, state.bn_state, loader(),
+                       postprocess=False,
+                       batch_sharding=NamedSharding(mesh, P("data")),
+                       batch_pad=4)
+    assert plain == sharded

@@ -93,8 +93,17 @@ def evaluate(
     epoch_pred_dir: Optional[str] = None,
     postprocess: bool = True,
     eval_step=None,
+    batch_sharding=None,
+    batch_pad: int = 1,
 ) -> Tuple[float, float, float]:
-    """Returns (dice_original, dice_postprocessed, min_dice) averaged over batches."""
+    """Returns (dice_original, dice_postprocessed, min_dice) averaged over batches.
+
+    ``batch_sharding``/``batch_pad``: shard each val batch over a device mesh
+    (the train loop passes its own batch sharding, so a data-parallel run
+    evaluates data-parallel instead of replicating the forward on every
+    device).  Ragged batches pad to a ``batch_pad`` multiple by repeating the
+    last sample; predictions are cropped back before any host work, so the
+    Dice triple is identical to single-device."""
     n_classes = model.n_classes
     eval_step = eval_step or make_eval_step(model, n_classes)
 
@@ -171,7 +180,17 @@ def evaluate(
             if image.ndim == 4 and image.shape[-1] == 1:
                 image = image[..., 0]  # rank-3 transfer: dense HBM layout
             image = jnp.asarray(image)
+            n_real = image.shape[0]
+            if batch_sharding is not None:
+                pad = -n_real % max(1, batch_pad)
+                if pad:
+                    image = jnp.concatenate(
+                        [image, jnp.repeat(image[-1:], pad, axis=0)]
+                    )
+                image = jax.device_put(image, batch_sharding)
             pred = eval_step(params, bn_state, image)
+            if pred.shape[0] != n_real:
+                pred = pred[:n_real]
             batch_index += 1
             # hand the DEVICE array to the worker: the device->host copy
             # happens there, so the main loop dispatches the next forward

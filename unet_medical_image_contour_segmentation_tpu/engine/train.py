@@ -230,6 +230,7 @@ def train_model(
         state = init_train_state(model, jax.random.PRNGKey(cfg.seed), opt_cfg)
 
     batch_sharding_ = None
+    eval_batch_pad = 1  # batch-dim shard count of batch_sharding_
     if n_dev > 1 and cfg.spatial_shards > 1:
         # 2-D (data, spatial) GSPMD mesh: batch over dp, image rows over sp
         # with XLA-inserted conv halo exchanges — for scans whose activation
@@ -257,6 +258,7 @@ def train_model(
             model, loss_cfg, opt_cfg, mesh, cfg.gradient_clipping
         )
         batch_sharding_ = NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+        eval_batch_pad = dp
     elif n_dev > 1:
         # data-parallel: batch sharded over a 1-D mesh, cross-replica BN,
         # global-batch loss reductions (numerically == single device)
@@ -275,6 +277,7 @@ def train_model(
             model, loss_cfg, opt_cfg, mesh, cfg.gradient_clipping
         )
         batch_sharding_ = batch_sharding(mesh)
+        eval_batch_pad = n_dev
     else:
         step_fn = jax.jit(
             make_train_step(model, loss_cfg, opt_cfg, cfg.gradient_clipping),
@@ -390,6 +393,10 @@ def train_model(
             epoch_pred_dir=str(epoch_pred_dir) if epoch_pred_dir else None,
             postprocess=cfg.val_postprocess,
             eval_step=eval_step,
+            # shard validation over the training mesh too (single-host only:
+            # local replicas evaluate locally on a pod)
+            batch_sharding=None if multi_host else batch_sharding_,
+            batch_pad=1 if multi_host else eval_batch_pad,
         )
         log.info("Validation Dice score: %s", val_score)
         log.info("Validation Postprocessed Dice score: %s", val_post)
