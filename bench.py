@@ -241,10 +241,17 @@ def bench_latency(hw=(512, 512), n_steps=128,
             return jnp.sum(y[0, 0])
 
         _ = float(chain(image))  # compile + run
-        t0 = time.perf_counter()
-        _ = float(chain(image))
-        tpu_ms = (time.perf_counter() - t0) / n_steps * 1e3
-        out[name] = {"tpu_ms": round(tpu_ms, 3)}
+        trials = []
+        for _rep in range(3):  # median-of-3: the tunnel drifts 5-15%
+            t0 = time.perf_counter()
+            _ = float(chain(image))
+            trials.append((time.perf_counter() - t0) / n_steps * 1e3)
+        trials.sort()
+        out[name] = {
+            "tpu_ms": round(trials[1], 3),
+            "spread_pct": round(100 * (trials[-1] - trials[0])
+                                / max(trials[1], 1e-9), 1),
+        }
         if name in ref_comments:
             out[name]["ref_comment_ms"] = ref_comments[name]
 
@@ -308,7 +315,6 @@ def main():
 
     if args.latency:
         lat = bench_latency(hw, n_steps=args.steps)
-        ref = {m: v for m, v in lat.items() if "ref_comment_ms" in v}
         # headline: unet_s latency vs the reference's "5 ms" comment
         head = lat.get("unet_s", next(iter(lat.values())))
         print(json.dumps({

@@ -8,11 +8,15 @@ the result materialized, median of ``reps``.  The dense 1024^2 forward is
 measured the same way for scale (its chained-scan number in BENCHMARKS.md
 is the production figure; here it shares the interactive methodology).
 """
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 import jax
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax.numpy as jnp
 
 from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor

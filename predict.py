@@ -83,6 +83,11 @@ def main():
                 StableHLOPredictor,
             )
 
+            if args.num_devices and args.num_devices > 1:
+                logging.warning(
+                    "--num-devices is ignored for .stablehlo models: the "
+                    "exported module has a fixed single-device program; "
+                    "export per-device or use live weights for DP serving")
             predictor = StableHLOPredictor.from_file(
                 args.model, batch_size=args.batch_size)
             predictor.tile, predictor.tile_halo = args.tile, args.tile_halo

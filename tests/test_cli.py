@@ -158,9 +158,9 @@ class TestBenchSweep:
         assert "| x | 1.0 " in md2 and "—" in md2
 
         lat = sweep.render_latency_table({"per_model": {
-            "unet_s": {"tpu_ms": 2.55, "ref_comment_ms": 5.0,
-                       "torch_cpu_ms": 428.0},
+            "unet_s": {"tpu_ms": 2.55, "spread_pct": 4.0,
+                       "ref_comment_ms": 5.0, "torch_cpu_ms": 428.0},
             "unet_pp_s": {"tpu_ms": 6.1},
         }})
-        assert "| unet_s | 2.55 | 5.0 | 428.0 | 168x |" in lat
-        assert "| unet_pp_s | 6.1 | — | — | — |" in lat
+        assert "| unet_s | 2.55 | ±2% | 5.0 | 428.0 | 168x |" in lat
+        assert "| unet_pp_s | 6.1 | — | — | — | — |" in lat

@@ -236,3 +236,26 @@ class TestConnectedComponent:
             np.asarray(m["cc_probs"]), np.asarray(jax.nn.sigmoid(logits[..., 0])),
             rtol=1e-6, atol=0,
         )
+
+
+def test_metric_keys_matches_compute_loss_every_branch():
+    """metric_keys() is the shard_map out-spec contract: it must name exactly
+    the keys compute_loss emits, for every config branch."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from unet_medical_image_contour_segmentation_tpu.losses.compound import (
+        LossConfig, compute_loss, metric_keys,
+    )
+
+    rng = np.random.default_rng(0)
+    for n_classes, cc, emit, mc_boundary in itertools.product(
+            (1, 3), (False, True), (False, True), (False, True)):
+        cfg = LossConfig(n_classes=n_classes, connected_component=cc,
+                         cc_emit_probs=emit, multiclass_boundary=mc_boundary)
+        logits = jnp.asarray(rng.random((2, 16, 16, max(n_classes, 1)), np.float32))
+        targets = jnp.asarray(rng.integers(0, 3, (2, 16, 16)))
+        _, metrics = compute_loss(logits, targets, cfg)
+        assert set(metrics) == set(metric_keys(cfg)), (
+            n_classes, cc, emit, mc_boundary)

@@ -13,6 +13,7 @@ resampling with the reference is a stated goal (SURVEY.md §7 "hard parts").
 from __future__ import annotations
 
 import logging
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from os import listdir
 from os.path import isfile, join, splitext
@@ -77,6 +78,7 @@ class BasicDataset:
         self._cache = {} if cache_bytes > 0 else None
         self._cache_budget = int(cache_bytes)
         self._cache_used = 0
+        self._cache_lock = threading.Lock()
 
         self.ids = [
             splitext(f)[0]
@@ -187,11 +189,13 @@ class BasicDataset:
         sample = {"image": img_a, "mask": mask_a.astype(np.int32)}
         if self._cache is not None:
             nb = sample["image"].nbytes + sample["mask"].nbytes
-            # GIL-atomic dict ops: concurrent loader threads at worst
-            # recompute a sample, never corrupt the cache
-            if self._cache_used + nb <= self._cache_budget:
-                self._cache[idx] = sample
-                self._cache_used += nb
+            # locked check+insert: concurrent loader threads decoding the
+            # same idx must not double-count the budget
+            with self._cache_lock:
+                if (idx not in self._cache
+                        and self._cache_used + nb <= self._cache_budget):
+                    self._cache[idx] = sample
+                    self._cache_used += nb
         return sample
 
 

@@ -179,15 +179,19 @@ def evaluate(
             image = batch["image"]
             if image.ndim == 4 and image.shape[-1] == 1:
                 image = image[..., 0]  # rank-3 transfer: dense HBM layout
-            image = jnp.asarray(image)
             n_real = image.shape[0]
             if batch_sharding is not None:
+                # pad on the host, then ONE sharded upload (jnp.asarray first
+                # would commit to device 0 and pay a second reshard transfer)
                 pad = -n_real % max(1, batch_pad)
                 if pad:
-                    image = jnp.concatenate(
-                        [image, jnp.repeat(image[-1:], pad, axis=0)]
+                    image = np.concatenate(
+                        [np.asarray(image),
+                         np.repeat(np.asarray(image[-1:]), pad, axis=0)]
                     )
-                image = jax.device_put(image, batch_sharding)
+                image = jax.device_put(np.asarray(image), batch_sharding)
+            else:
+                image = jnp.asarray(image)
             pred = eval_step(params, bn_state, image)
             if pred.shape[0] != n_real:
                 pred = pred[:n_real]

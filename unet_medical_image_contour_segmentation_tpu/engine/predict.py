@@ -122,13 +122,13 @@ class Predictor:
             return jnp.asarray(images), b
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # pad on the host, then ONE sharded upload (jnp first would commit to
+        # device 0 and pay a second reshard transfer)
         pad = -b % self._ndev
-        images = jnp.asarray(images)
+        arr = np.asarray(images)
         if pad:
-            images = jnp.concatenate(
-                [images, jnp.repeat(images[-1:], pad, axis=0)]
-            )
-        return jax.device_put(images, NamedSharding(self._mesh, P("data"))), b
+            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+        return jax.device_put(arr, NamedSharding(self._mesh, P("data"))), b
 
     def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
         key = (in_hw, out_hw)

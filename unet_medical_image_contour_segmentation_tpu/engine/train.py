@@ -137,6 +137,26 @@ def train_model(
                 f"spatial_shards {cfg.spatial_shards} exceeds the "
                 f"{avail} available devices"
             )
+    if cfg.cc_loss:
+        if cfg.classes != 1:
+            # the penalty exists only in the binary loss path (the reference
+            # ships it commented out inside the n_classes==1 branch,
+            # train.py:124-132) — don't let it silently no-op
+            log.warning(
+                "--cc-loss has no effect with classes=%d: the "
+                "connected-component penalty is part of the binary "
+                "(classes=1) loss only", cfg.classes,
+            )
+        else:
+            from ..parallel import distributed as _dist
+
+            if _dist.is_multi_host():
+                # the sharded cc_probs map spans non-addressable devices, so
+                # the host-side penalty cannot fetch it on a pod
+                raise NotImplementedError(
+                    "--cc-loss is single-host only (host-side penalty "
+                    "needs the full probability map)"
+                )
 
     if model is None:
         model = get_model(

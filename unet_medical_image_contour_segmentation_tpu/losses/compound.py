@@ -73,6 +73,24 @@ def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray, axis_name=None) -
     return _mean(jnp.maximum(x, 0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x))), axis_name)
 
 
+def metric_keys(cfg: "LossConfig") -> Tuple[str, ...]:
+    """The exact metric-dict keys :func:`compute_loss` emits for ``cfg``.
+
+    Single source of truth for callers that need the pytree structure before
+    tracing (the shard_map out_specs in parallel/data_parallel.py); a test
+    asserts it matches an actual compute_loss call for every branch.
+    """
+    if cfg.n_classes == 1:
+        keys = ["ce", "dice", "boundary"]
+        if cfg.connected_component:
+            keys.append("cc_probs" if cfg.cc_emit_probs else "cc")
+        return tuple(keys + ["loss"])
+    keys = ["ce", "dice", "loss"]
+    if cfg.multiclass_boundary:
+        keys.append("boundary")
+    return tuple(keys)
+
+
 def compute_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,

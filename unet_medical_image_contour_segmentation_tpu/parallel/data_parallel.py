@@ -86,10 +86,13 @@ def make_parallel_train_step(
             and loss_cfg.n_classes == 1:
         # metrics["cc_probs"] is the batch-sharded sigmoid map (the host-side
         # connected-component penalty input); every other metric is a
-        # replicated scalar.  Keys must mirror compute_loss's binary path +
-        # the grad_norm/lr added by step_fn.
+        # replicated scalar.  Keys come from compute_loss's own contract
+        # (losses/compound.py:metric_keys, parity-tested) + the grad_norm/lr
+        # step_fn adds.
+        from ..losses.compound import metric_keys
+
         metrics_spec = {
-            k: P() for k in ("ce", "dice", "boundary", "loss", "grad_norm", "lr")
+            k: P() for k in (*metric_keys(loss_cfg), "grad_norm", "lr")
         }
         metrics_spec["cc_probs"] = P(AXIS)
 
