@@ -90,15 +90,21 @@ def main():
         # against the live JAX forward
         x = np.random.default_rng(0).random((1, 1, 128, 128), np.float32)
         got = run_with_torch(data, x)
-        want, _ = model.apply(params, bn_state,
-                              jax.numpy.asarray(x.transpose(0, 2, 3, 1)),
-                              train=False)
+        # the torch executor is true f32; TPUs route f32 matmuls through the
+        # bf16 MXU by default, so force full precision for a like-for-like
+        # reference forward (otherwise class-tie pixels flip on bf16 noise)
+        with jax.default_matmul_precision("highest"):
+            want, _ = model.apply(params, bn_state,
+                                  jax.numpy.asarray(x.transpose(0, 2, 3, 1)),
+                                  train=False)
         want = np.asarray(want).transpose(0, 3, 1, 2)
-        if np.allclose(got, want, rtol=1e-2, atol=2e-3):
+        from unet_medical_image_contour_segmentation_tpu.engine.export import (
+            logits_close,
+        )
+
+        if logits_close(got, want, "ONNX sanity forward"):
             logging.info("ONNX sanity forward passed.")
         else:
-            logging.error("ONNX sanity forward FAILED: max diff %s",
-                          np.abs(got - want).max())
             ok = False
 
     return 0 if ok else 1

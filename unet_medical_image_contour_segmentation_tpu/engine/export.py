@@ -83,7 +83,29 @@ def sanity_check(data: bytes, model, params, bn_state, hw=(512, 512)) -> bool:
     x = np.random.default_rng(0).random((1, *hw, model.n_channels), np.float32)
     got = exported.call(jnp.asarray(x))
     want, _ = model.apply(params, bn_state, jnp.asarray(x), train=False)
-    ok = bool(jnp.allclose(got, want, rtol=1e-2, atol=2e-3))
+    return logits_close(np.asarray(got), np.asarray(want), "export sanity")
+
+
+def logits_close(got, want, what: str) -> bool:
+    """bf16-formulation tolerance for logits whose consumer is an argmax.
+
+    Trained checkpoints push logits to |x| ~ 25+, so a fixed atol calibrated
+    on random-init outputs false-fails on real models; the observed
+    live-vs-exported divergence is pure bf16 rounding between two program
+    formulations (~1% of the logit scale).  Accept when the diff stays
+    bf16-scale relative to the output range AND the argmax (the actual
+    consumer) agrees on >= 99.9% of pixels."""
+    import numpy as np
+
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    scale = float(np.abs(want).max())
+    tol_ok = bool(np.allclose(got, want, rtol=1e-2,
+                              atol=max(2e-3, 0.02 * scale)))
+    # class axis: trailing for NHWC exports, axis 1 for NCHW (ONNX)
+    axis = -1 if got.shape[-1] <= 16 else 1
+    agree = float((got.argmax(axis) == want.argmax(axis)).mean())
+    ok = tol_ok and agree >= 0.999
     if not ok:
-        log.error("export sanity check FAILED: max diff %s", jnp.abs(got - want).max())
+        log.error("%s FAILED: max diff %s (scale %s), argmax agreement %.5f",
+                  what, np.abs(got - want).max(), scale, agree)
     return ok
