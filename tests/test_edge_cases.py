@@ -139,3 +139,49 @@ class TestSampleCache:
             tight[idx]
         assert len(tight._cache) == 1
         assert tight._cache_used <= one
+
+
+class TestProfilingUtils:
+    def test_step_timer_excludes_warmup(self):
+        import time as _t
+
+        from unet_medical_image_contour_segmentation_tpu.utils.profiling import (
+            StepTimer,
+        )
+
+        t = StepTimer(warmup=2)
+        assert t.items_per_sec is None
+        t.step(4)          # warmup step 1
+        t.step(4)          # warmup step 2: clock starts, items reset
+        assert t.items_per_sec is None
+        _t.sleep(0.05)
+        t.step(4)
+        rate = t.items_per_sec
+        assert rate is not None and 0 < rate < 4 / 0.05 + 1
+
+    def test_trace_context_writes_profile(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from unet_medical_image_contour_segmentation_tpu.utils.profiling import (
+            trace,
+        )
+
+        with trace(str(tmp_path / "tr")):
+            jnp.sum(jnp.ones((8, 8))).block_until_ready()
+        produced = list((tmp_path / "tr").rglob("*"))
+        assert produced, "trace produced no profile files"
+        with trace(str(tmp_path / "off"), enabled=False):
+            pass
+        assert not (tmp_path / "off").exists()
+
+    def test_device_memory_stats_shape(self):
+        import jax
+
+        from unet_medical_image_contour_segmentation_tpu.utils.profiling import (
+            device_memory_stats,
+        )
+
+        stats = device_memory_stats()
+        assert set(stats) == {str(d) for d in jax.devices()}
+        assert all(isinstance(v, dict) for v in stats.values())

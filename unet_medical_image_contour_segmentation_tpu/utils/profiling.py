@@ -62,7 +62,8 @@ def device_memory_stats():
     stats = {}
     for d in jax.devices():
         try:
-            stats[str(d)] = d.memory_stats()
+            # CPU devices return None rather than raising — normalize to {}
+            stats[str(d)] = d.memory_stats() or {}
         except Exception:
             stats[str(d)] = {}
     return stats
