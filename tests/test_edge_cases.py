@@ -185,3 +185,24 @@ class TestProfilingUtils:
         stats = device_memory_stats()
         assert set(stats) == {str(d) for d in jax.devices()}
         assert all(isinstance(v, dict) for v in stats.values())
+
+
+def test_plot_img_and_mask_builds_expected_subplots(monkeypatch):
+    """One subplot per class + the input image (reference utils.py:4-13)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from unet_medical_image_contour_segmentation_tpu.utils.viz import (
+        plot_img_and_mask,
+    )
+
+    shown = []
+    monkeypatch.setattr(plt, "show", lambda: shown.append(1))
+    img = np.zeros((16, 16), np.float32)
+    mask = np.zeros((16, 16), np.int32)
+    mask[4:8, 4:8] = 2
+    plot_img_and_mask(img, mask)
+    fig = plt.gcf()
+    assert len(fig.axes) == 4 and shown  # input + classes {0,1,2}
+    plt.close("all")
