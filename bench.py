@@ -188,7 +188,8 @@ def bench_torch_baseline(hw, batch, n_steps, model_name="unet_s", bilinear=False
 
 
 def bench_latency(hw=(512, 512), n_steps=128,
-                  models=("unet_t", "unet_s", "unet", "yolov8_seg_s"),
+                  models=("unet_t", "unet_s", "unet_sa", "unet",
+                          "unet_pp_s", "yolov8_seg_s"),
                   torch_steps=5):
     """b=1 single-slice predict latency per model (VERDICT r2 item 5).
 
