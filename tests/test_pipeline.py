@@ -300,6 +300,43 @@ class TestTiledPredictor:
         dense = Predictor(model, params, bn_state, tile_threshold=0)
         np.testing.assert_array_equal(out, dense.predict_array(img))
 
+    @pytest.mark.parametrize("hw", [(97, 131), (65, 193), (64, 64)])
+    def test_tiling_exact_at_awkward_sizes(self, hw):
+        """Odd/prime-ish sizes (pad on both axes, partial edge tiles)."""
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(5))
+        tiled = Predictor(model, params, bn_state, tile=64, tile_halo=48,
+                          tile_threshold=1)
+        dense = Predictor(model, params, bn_state, tile_threshold=0)
+        img = np.random.default_rng(hw[0]).random((2, *hw, 1), np.float32)
+        np.testing.assert_array_equal(tiled.predict_array(img),
+                                      dense.predict_array(img))
+
+    def test_predictor_concurrent_use_is_consistent(self):
+        """Two threads sharing one Predictor (jit-cache races) agree with a
+        serial run — the per-instance step cache must tolerate concurrent
+        builds."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(6))
+        p = Predictor(model, params, bn_state)
+        rng = np.random.default_rng(12)
+        batches = [rng.random((2, 48 + 16 * (i % 3), 64, 1), np.float32)
+                   for i in range(8)]
+        serial = [p.predict_array(b) for b in batches]
+        fresh = Predictor(model, params, bn_state)  # cold cache
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            concurrent = list(ex.map(fresh.predict_array, batches))
+        for a, b in zip(serial, concurrent):
+            np.testing.assert_array_equal(a, b)
+
     def test_predict_paths_uses_tiling(self, tmp_path):
         from PIL import Image as PILImage
 
