@@ -125,4 +125,8 @@ def _build_predictor(model_path: str):
     # .pth weights (predict.py:104); same default here.
     params, bn_state, _ = load_weights(model_path)
     model = unet(n_channels=1, n_classes=3, bilinear=False, compute_dtype=jnp.bfloat16)
+    # defaults suffice here: stage 2 letterboxes every slice to 512x512, so
+    # the tiled-inference path can never trigger, and one fixed-shape jitted
+    # batch forward is the whole device workload (predict.py exposes
+    # --tile*/--num-devices for free-form inputs)
     return Predictor(model, params, bn_state)
