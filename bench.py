@@ -33,8 +33,12 @@ BASELINE_CACHE = Path(__file__).resolve().parent / ".bench_baseline.json"
 
 def _med_spread(ts):
     """(median, spread%) of a list of per-step times."""
+    import statistics
+
     ts = sorted(ts)
-    med = ts[len(ts) // 2]
+    # statistics.median averages the middle pair for even n — an
+    # upper-middle pick would bias even --repeats runs toward the max
+    med = statistics.median(ts)
     return med, (ts[-1] - ts[0]) / med * 100.0
 
 
@@ -247,11 +251,10 @@ def bench_latency(hw=(512, 512), n_steps=128,
             t0 = time.perf_counter()
             _ = float(chain(image))
             trials.append((time.perf_counter() - t0) / n_steps * 1e3)
-        trials.sort()
+        med, spread = _med_spread(trials)
         out[name] = {
-            "tpu_ms": round(trials[1], 3),
-            "spread_pct": round(100 * (trials[-1] - trials[0])
-                                / max(trials[1], 1e-9), 1),
+            "tpu_ms": round(med, 3),
+            "spread_pct": round(spread, 1),
         }
         if name in ref_comments:
             out[name]["ref_comment_ms"] = ref_comments[name]
