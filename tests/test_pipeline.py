@@ -337,6 +337,43 @@ class TestTiledPredictor:
         for a, b in zip(serial, concurrent):
             np.testing.assert_array_equal(a, b)
 
+    def test_device_grid_matches_host_stitched(self):
+        """The one-program device tiling (default) is bit-identical to the
+        per-tile host-stitched path (tile_on_device=False), including ragged
+        grids, multi-image batches, and 4-channel inputs."""
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        model = unet_t(4, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(11))
+        rng = np.random.default_rng(13)
+        for shape in [(1, 160, 224, 4), (2, 128, 128, 4)]:
+            img = rng.random(shape, np.float32)
+            dev = Predictor(model, params, bn_state, tile=64, tile_halo=48,
+                            tile_threshold=1)
+            host = Predictor(model, params, bn_state, tile=64, tile_halo=48,
+                             tile_threshold=1)
+            host.tile_on_device = False
+            np.testing.assert_array_equal(dev.predict_array(img),
+                                          host.predict_array(img))
+
+    def test_device_grid_tile_batch_variants(self):
+        """tpb=1 (pure scan) and tpb > grid (all tiles in one step, padded
+        with duplicates) both match the dense forward."""
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(12))
+        img = np.random.default_rng(14).random((1, 130, 190, 1), np.float32)
+        dense = Predictor(model, params, bn_state, tile_threshold=0)
+        want = dense.predict_array(img)
+        for tpb in (1, 3, 64):
+            p = Predictor(model, params, bn_state, tile=64, tile_halo=48,
+                          tile_threshold=1)
+            p.tile_batch = tpb
+            np.testing.assert_array_equal(p.predict_array(img), want)
+
     def test_predict_paths_uses_tiling(self, tmp_path):
         from PIL import Image as PILImage
 

@@ -178,13 +178,22 @@ class Predictor:
             return False
         return in_hw[0] * in_hw[1] > self.tile_threshold
 
-    def _build_tile_step(self, win: int, core: int, halo: int):
-        """Jitted (params, bn_state, [B,win,win,C]) -> [B,core,core] argmax."""
+    # tiles packed into the batch dim of each scan step of the device tiling
+    # program; rounded up to a device multiple under data-parallel serving so
+    # TILES (not redundant batch padding) are what shards over the mesh
+    tile_batch = 8
+    # escape hatch: False restores the one-dispatch-per-tile host-stitched
+    # path (kept for A/B exactness tests and dispatch-overhead probes)
+    tile_on_device = True
+
+    def _tile_core_forward(self, win: int, core: int, halo: int):
+        """(params, bn_state, [B,win,win,C]) -> [B,core,core] int32 argmax
+        of the central core.  Shared by the host- and device-tiled paths;
+        StableHLOPredictor overrides it with the exported module's call."""
         model = self.model
         folded = self.folded_params
 
-        @jax.jit
-        def run(params, bn_state, tile_img):
+        def fwd(params, bn_state, tile_img):
             if folded is not None:
                 logits, _ = model.apply(folded, None, tile_img, train=False)
             else:
@@ -192,23 +201,130 @@ class Predictor:
             pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
             return pred[:, halo: halo + core, halo: halo + core].astype(jnp.int32)
 
+        return fwd
+
+    def _build_tile_step(self, win: int, core: int, halo: int):
+        """Jitted (params, bn_state, [B,win,win,C]) -> [B,core,core] argmax."""
+        return jax.jit(self._tile_core_forward(win, core, halo))
+
+    def _build_tile_grid_step(self, n: int, c: int, h: int, w: int,
+                              tile: int, halo: int, tpb: int, rank3: bool):
+        """ONE jitted program for the whole tile grid.
+
+        Device-pads the raw image (halo + grid rounding), then ``lax.scan``s
+        over groups of ``tpb`` tiles: each step gathers the windows with a
+        vmapped ``dynamic_slice``, runs the shared core forward on them
+        stacked into the batch dim (the model is traced once for the entire
+        grid), and stitches the cores into the output carry with
+        ``dynamic_update_slice`` — no per-tile dispatch, no host round trips
+        (a 4096² scan previously paid 64 of them), no host stitching.  The
+        stitched map leaves the device once, as int8 (class indices fit; 4x
+        less device->host traffic than int32 on a 4096² map).  Under
+        data-parallel serving the stacked tile batch is sharded over the
+        mesh, so devices split TILES instead of recomputing padded batch
+        copies.
+
+        Exact vs the host-stitched path: same windows, same forward, same
+        argmax, disjoint cores (grid-remainder duplicate tiles rewrite the
+        same core idempotently).
+        """
+        from jax import lax
+
+        win = tile + 2 * halo
+        ph, pw = -h % tile, -w % tile
+        gh, gw = (h + ph) // tile, (w + pw) // tile
+        core_fwd = self._tile_core_forward(win, tile, halo)
+        mesh = self._mesh
+
+        # static tile-offset schedule: (S, tpb, 2) int32, remainder padded
+        # with duplicates of the last tile (idempotent rewrites of its core)
+        ii, jj = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+        offs = np.stack([ii.ravel(), jj.ravel()], axis=1).astype(np.int32) * tile
+        pad_t = -len(offs) % tpb
+        if pad_t:
+            offs = np.concatenate([offs, np.repeat(offs[-1:], pad_t, axis=0)])
+        offs = offs.reshape(-1, tpb, 2)
+
+        @jax.jit
+        def run(params, bn_state, image):
+            # single-channel inputs arrive rank-3: a (B, H, W, 1) program
+            # input buffer is lane-padded 128x in TPU HBM (CLAUDE.md) —
+            # ruinous for a 4096² padded scan
+            spatial_pad = ((0, 0), (halo, halo + ph), (halo, halo + pw))
+            padded = jnp.pad(image, spatial_pad if rank3
+                             else spatial_pad + ((0, 0),))
+
+            def body(out, off):
+                if rank3:
+                    wins = jax.vmap(
+                        lambda o: lax.dynamic_slice(
+                            padded, (0, o[0], o[1]), (n, win, win)
+                        )
+                    )(off)
+                    x = wins.reshape(tpb * n, win, win)
+                else:
+                    wins = jax.vmap(
+                        lambda o: lax.dynamic_slice(
+                            padded, (0, o[0], o[1], 0), (n, win, win, c)
+                        )
+                    )(off)
+                    x = wins.reshape(tpb * n, win, win, c)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    x = lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, P("data"))
+                    )
+                pred = core_fwd(params, bn_state, x).astype(jnp.int8)
+                pred = pred.reshape(tpb, n, tile, tile)
+                for t in range(tpb):  # tpb is small and static: unrolled
+                    out = lax.dynamic_update_slice(
+                        out, pred[t], (0, off[t, 0], off[t, 1])
+                    )
+                return out, ()
+
+            out0 = jnp.zeros((n, gh * tile, gw * tile), jnp.int8)
+            out, _ = lax.scan(body, out0, jnp.asarray(offs))
+            return out[:, :h, :w]
+
         return run
 
     def _tiled_predict(self, images: np.ndarray) -> np.ndarray:
         """[B,H,W,C] -> [B,H,W] int32 via overlapping tiles (exact: the halo
-        covers the receptive field — parallel/spatial.py:tiled_inference is
-        the library form; this variant caches the jitted tile forward and
-        stitches on the host so a 4096**2 scan never materializes densely."""
+        covers the receptive field).  Default: one jitted scan over the tile
+        grid, stitched on device (``_build_tile_grid_step``);
+        ``tile_on_device=False`` falls back to one dispatch per tile with
+        host stitching."""
         tile, halo = self.tile, self.tile_halo
         n, h, w = images.shape[:3]
         c = images.shape[3] if images.ndim == 4 else 1
         if images.ndim == 3:
             images = images[..., None]
         ph, pw = -h % tile, -w % tile
-        padded = np.pad(images, ((0, 0), (halo, halo + ph), (halo, halo + pw), (0, 0)))
         gh, gw = (h + ph) // tile, (w + pw) // tile
         win = tile + 2 * halo
 
+        if self.tile_on_device:
+            # tiles per scan step: a device multiple (so DP shards tiles),
+            # clamped to the grid size (no point padding past the grid)
+            tpb = max(1, -(-self.tile_batch // self._ndev) * self._ndev)
+            tpb = min(tpb, -(-gh * gw // self._ndev) * self._ndev)
+            rank3 = c == 1 and self._rank3_transfer
+            key = ("tilegrid", n, c, h, w, tile, halo, tpb, rank3)
+            if key not in self._step_cache:
+                self._step_cache[key] = self._build_tile_grid_step(
+                    n, c, h, w, tile, halo, tpb, rank3
+                )
+            run = self._step_cache[key]
+            x = images[..., 0] if rank3 else images  # pad happens on device
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                x = jax.device_put(np.asarray(x), NamedSharding(self._mesh, P()))
+            return np.asarray(run(self.params, self.bn_state,
+                                  jnp.asarray(x))).astype(np.int32)
+
+        padded = np.pad(images, ((0, 0), (halo, halo + ph), (halo, halo + pw), (0, 0)))
         key = ("tile", win, tile, halo)
         if key not in self._step_cache:
             self._step_cache[key] = self._build_tile_step(win, tile, halo)
@@ -379,16 +495,15 @@ class StableHLOPredictor(Predictor):
 
         return run
 
-    def _build_tile_step(self, win: int, core: int, halo: int):
+    def _tile_core_forward(self, win: int, core: int, halo: int):
         exported = self.exported
 
-        @jax.jit
-        def run(params, bn_state, tile_img):  # params/bn ignored: baked in
+        def fwd(params, bn_state, tile_img):  # params/bn ignored: baked in
             logits = exported.call(tile_img)
             pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
             return pred[:, halo: halo + core, halo: halo + core].astype(jnp.int32)
 
-        return run
+        return fwd
 
     def predict_array(self, images, out_hw=None):
         in_hw = images.shape[1:3]

@@ -133,13 +133,25 @@ def tiled_inference(
     *,
     tile: int = 512,
     halo: int = 96,
+    tile_batch: int = 8,
 ) -> jnp.ndarray:
     """Class indices for a large NHWC image via overlapping tiles.
 
-    The image is padded to a tile grid, each (tile + 2*halo) window is run
-    through one shared jitted forward (one compilation for all tiles), and
-    the central ``tile`` x ``tile`` cores are stitched back.
+    ONE jitted program for the whole grid: a ``lax.scan`` over groups of
+    ``tile_batch`` tiles, each step gathering its windows with a vmapped
+    ``dynamic_slice``, running them stacked through the batch dim of a single
+    traced forward, and stitching the argmax cores into the output carry with
+    ``dynamic_update_slice`` — no per-tile dispatch, no host stitching (the
+    previous form paid one round trip per tile: 64 at 4096²).  Exact when
+    ``halo`` covers the model's half receptive field: cores are disjoint and
+    each window sees the same pixels the dense forward would.
+
+    (``engine/predict.py:_build_tile_grid_step`` is the production variant of
+    the same program, with BN folding, data-parallel tile sharding, and the
+    rank-3 single-channel transfer; this is the minimal library form.)
     """
+    from jax import lax
+
     n, h, w, c = image.shape
     ph = -h % tile
     pw = -w % tile
@@ -147,20 +159,37 @@ def tiled_inference(
     gh, gw = (h + ph) // tile, (w + pw) // tile
     win = tile + 2 * halo
 
-    @jax.jit
-    def run_tile(tile_img):
-        logits, _ = model.apply(params, bn_state, tile_img, train=False)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        return probs[:, halo : halo + tile, halo : halo + tile, :]
+    tpb = max(1, min(tile_batch, gh * gw))
+    ii, jj = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+    offs = np.stack([ii.ravel(), jj.ravel()], axis=1).astype(np.int32) * tile
+    pad_t = -len(offs) % tpb
+    if pad_t:  # duplicates of the last tile rewrite the same core: idempotent
+        offs = np.concatenate([offs, np.repeat(offs[-1:], pad_t, axis=0)])
+    offs = offs.reshape(-1, tpb, 2)
 
-    rows = []
-    for i in range(gh):
-        cols = []
-        for j in range(gw):
-            window = jax.lax.dynamic_slice(
-                padded, (0, i * tile, j * tile, 0), (n, win, win, c)
+    @jax.jit
+    def run(params, bn_state, padded):
+        def body(out, off):
+            wins = jax.vmap(
+                lambda o: lax.dynamic_slice(
+                    padded, (0, o[0], o[1], 0), (n, win, win, c)
+                )
+            )(off)
+            logits, _ = model.apply(
+                params, bn_state, wins.reshape(tpb * n, win, win, c),
+                train=False,
             )
-            cols.append(run_tile(window))
-        rows.append(jnp.concatenate(cols, axis=2))
-    probs = jnp.concatenate(rows, axis=1)[:, :h, :w, :]
-    return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            pred = pred[:, halo: halo + tile, halo: halo + tile]
+            pred = pred.astype(jnp.int32).reshape(tpb, n, tile, tile)
+            for t in range(tpb):
+                out = lax.dynamic_update_slice(
+                    out, pred[t], (0, off[t, 0], off[t, 1])
+                )
+            return out, ()
+
+        out0 = jnp.zeros((n, gh * tile, gw * tile), jnp.int32)
+        out, _ = lax.scan(body, out0, jnp.asarray(offs))
+        return out
+
+    return run(params, bn_state, padded)[:, :h, :w]
