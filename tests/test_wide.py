@@ -483,6 +483,31 @@ class TestConvSplit:
         np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_split_custom_vjp_grads_match_autodiff(self):
+        """UMICS_SPLIT_CVJP path (r4 probe, kept opt-in): dx/dw from the
+        explicit flipped-kernel backward == autodiff, to fp tolerance."""
+        from unet_medical_image_contour_segmentation_tpu.ops import wide as W
+
+        rng = np.random.default_rng(4)
+        bw, c1, c2 = 8, 16, 16
+        a = jnp.asarray(rng.random((2, 32, 4, bw * c1), np.float32))
+        b = jnp.asarray(rng.random((2, 32, 4, bw * c2), np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, c1 + c2, 24), np.float32) * 0.1)
+
+        def loss(a, b, w):
+            y = W.conv_wide_split([a, b], [c1, c2], w, bw)
+            return jnp.sum(y * jnp.sin(y))
+
+        ref = jax.grad(loss, argnums=(0, 1, 2))(a, b, w)
+        W.SPLIT_CUSTOM_VJP[0] = True
+        try:
+            got = jax.grad(loss, argnums=(0, 1, 2))(a, b, w)
+        finally:
+            W.SPLIT_CUSTOM_VJP[0] = False
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_no_h_fold_context(self):
         from unet_medical_image_contour_segmentation_tpu.ops import wide as W
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -353,6 +354,62 @@ def batch_norm_wide(x, scale, bias, running_mean, running_var, bw, *,
     )
 
 
+# Opt-in custom_vjp for conv_wide_split (UMICS_SPLIT_CVJP=1): computes the
+# backward's dx contributions as EXPLICIT flipped-kernel conv_wide calls
+# instead of XLA's conv-transpose autodiff — the r4 bounded probe
+# (benchmarks/probe_vjp.py) for whether restructuring the dx path removes
+# the {3,0,2,1} layout copies feeding add_any in the train step's HLO
+# (24% of the r3 step profile).  Mathematically identical (adjoint of a
+# stride-1 SAME odd-k conv == SAME conv with the spatially-flipped,
+# in/out-swapped kernel); floats differ by accumulation order, so this
+# stays opt-in unless it wins end-to-end.
+SPLIT_CUSTOM_VJP = [os.environ.get("UMICS_SPLIT_CVJP", "0") == "1"]
+
+
+def _split_conv_impl(channels, bw, cd, h_fold, xs, w):
+    off, y = 0, None
+    for x, c in zip(xs, channels):
+        part = conv_wide(x, w[:, :, off:off + c, :], bw,
+                         compute_dtype=cd, h_fold=h_fold)
+        y = part if y is None else y + part
+        off += c
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _split_conv_cvjp(channels, bw, cd, h_fold, xs, w):
+    return _split_conv_impl(channels, bw, cd, h_fold, xs, w)
+
+
+def _split_conv_cvjp_fwd(channels, bw, cd, h_fold, xs, w):
+    return _split_conv_impl(channels, bw, cd, h_fold, xs, w), (xs, w)
+
+
+def _split_conv_cvjp_bwd(channels, bw, cd, h_fold, res, dy):
+    xs, w = res
+    dxs, off = [], 0
+    for x, c in zip(xs, channels):
+        # adjoint as a forward-style conv: flip spatially, swap in/out
+        wf = jnp.flip(w[:, :, off:off + c, :], (0, 1)).swapaxes(2, 3)
+        dx = conv_wide(dy, wf, bw, compute_dtype=cd, h_fold=h_fold)
+        dxs.append(dx.astype(x.dtype))
+        off += c
+    # dw via XLA's native wgrad of each partial conv (that path profiled fine)
+    dws, off = [], 0
+    for x, c in zip(xs, channels):
+        _, vjp_fn = jax.vjp(
+            lambda wi, _x=x: conv_wide(_x, wi, bw, compute_dtype=cd,
+                                       h_fold=h_fold),
+            w[:, :, off:off + c, :],
+        )
+        dws.append(vjp_fn(dy)[0])
+        off += c
+    return tuple(dxs), jnp.concatenate(dws, axis=2)
+
+
+_split_conv_cvjp.defvjp(_split_conv_cvjp_fwd, _split_conv_cvjp_bwd)
+
+
 def conv_wide_split(xs, channels, w, bw: int, bias=None, compute_dtype=None,
                     h_fold: bool = True) -> jnp.ndarray:
     """``conv_wide(concat_wide(xs, bw, channels), w, bw)`` without the concat.
@@ -380,12 +437,11 @@ def conv_wide_split(xs, channels, w, bw: int, bias=None, compute_dtype=None,
     if bw == 1:
         return conv_wide(jnp.concatenate(xs, axis=-1), w, bw, bias,
                          compute_dtype=compute_dtype, h_fold=h_fold)
-    off, y = 0, None
-    for x, c in zip(xs, channels):
-        part = conv_wide(x, w[:, :, off:off + c, :], bw,
-                         compute_dtype=compute_dtype, h_fold=h_fold)
-        y = part if y is None else y + part
-        off += c
+    if SPLIT_CUSTOM_VJP[0]:
+        y = _split_conv_cvjp(tuple(channels), bw, compute_dtype, h_fold,
+                             tuple(xs), w)
+    else:
+        y = _split_conv_impl(channels, bw, compute_dtype, h_fold, xs, w)
     if bias is not None:
         y = y + jnp.tile(bias, bw).astype(y.dtype)
     return y
