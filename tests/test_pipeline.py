@@ -246,6 +246,30 @@ class TestPredictor:
         np.testing.assert_array_equal(m_t.predict_array(y),
                                       s_t.predict_array(y))
 
+    def test_binary_predictor_matches_eval_forward(self):
+        """classes=1: Predictor uses sigmoid > 0.5 (the evaluate-path
+        semantics; the reference predict CLI is multiclass-only) — dense and
+        tiled paths agree with eval_forward."""
+        from unet_medical_image_contour_segmentation_tpu.engine.evaluate import (
+            eval_forward,
+        )
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        model = unet_t(1, 1)
+        params, bn_state = model.init(jax.random.PRNGKey(13))
+        x = np.random.default_rng(15).random((2, 96, 96, 1), np.float32)
+        want = np.asarray(eval_forward(model, 1, params, bn_state,
+                                       jax.numpy.asarray(x[..., 0])))
+        dense = Predictor(model, params, bn_state, fold_bn=False)
+        np.testing.assert_array_equal(dense.predict_array(x), want)
+        assert set(np.unique(want)) <= {0, 1}
+        tiled = Predictor(model, params, bn_state, fold_bn=False,
+                          tile=64, tile_halo=48, tile_threshold=1)
+        np.testing.assert_array_equal(tiled.predict_array(x), want)
+
     def test_mask_to_image_value_map(self):
         from unet_medical_image_contour_segmentation_tpu.engine.predict import mask_to_image
 

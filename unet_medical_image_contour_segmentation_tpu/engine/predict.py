@@ -162,6 +162,12 @@ class Predictor:
             logits = bilinear_resize(
                 logits.astype(jnp.float32), out_hw[0], out_hw[1], align_corners=False
             )
+            if n_classes == 1:
+                # binary checkpoints: sigmoid > 0.5, as the evaluate path does
+                # (the reference's predict CLI is multiclass-only — it always
+                # argmaxes, predict.py:28 — so this is an extension, matching
+                # its evaluate.py:64 semantics)
+                return (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.int32)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         return run
@@ -192,13 +198,17 @@ class Predictor:
         StableHLOPredictor overrides it with the exported module's call."""
         model = self.model
         folded = self.folded_params
+        n_classes = getattr(model, "n_classes", 0)
 
         def fwd(params, bn_state, tile_img):
             if folded is not None:
                 logits, _ = model.apply(folded, None, tile_img, train=False)
             else:
                 logits, _ = model.apply(params, bn_state, tile_img, train=False)
-            pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            if n_classes == 1:  # binary: sigmoid > 0.5 (see _build_step)
+                pred = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32)) > 0.5
+            else:
+                pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
             return pred[:, halo: halo + core, halo: halo + core].astype(jnp.int32)
 
         return fwd
