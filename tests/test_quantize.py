@@ -1,0 +1,195 @@
+"""int8 post-training quantization (models/quantize.py + Predictor hook).
+
+Covers: ops-level int8 conv exactness on the integer grid, end-to-end
+closeness of the quantized forward to the float forward (the drift guard for
+the shared topology walker), every UNet variant/upsampler/attention combo,
+and the Predictor auto-calibration + routing (dense, fused, tiled, binary).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_medical_image_contour_segmentation_tpu.models import quantize as Q
+from unet_medical_image_contour_segmentation_tpu.models.fold_bn import fold_params
+from unet_medical_image_contour_segmentation_tpu.models.unet import (
+    unet_s, unet_sa, unet_t,
+)
+from unet_medical_image_contour_segmentation_tpu.ops import wide as W
+
+
+def _rand_int8(rng, shape):
+    return jnp.asarray(rng.randint(-20, 21, shape), jnp.int8)
+
+
+class TestInt8ConvOps:
+    """conv_wide_int8 / conv_wide_split_int8 vs the f32 conv on exact ints."""
+
+    @pytest.mark.parametrize("bw", [1, 2, 8])
+    def test_conv_wide_int8_exact(self, bw):
+        rng = np.random.RandomState(0)
+        cin = cout = 128 // max(bw, 1) if bw > 1 else 16
+        x = _rand_int8(rng, (2, 8, 32 // max(bw, 1), bw * cin))
+        w = _rand_int8(rng, (3, 3, cin, cout))
+        got = W.conv_wide_int8(x, w, bw)
+        assert got.dtype == jnp.int32
+        want = W.conv_wide(x.astype(jnp.float32), w.astype(jnp.float32), bw,
+                           h_fold=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_conv_wide_split_int8_exact(self):
+        rng = np.random.RandomState(1)
+        bw, c1, c2, cout = 4, 16, 16, 32
+        xs = [_rand_int8(rng, (2, 8, 8, bw * c1)),
+              _rand_int8(rng, (2, 8, 8, bw * c2))]
+        w = _rand_int8(rng, (3, 3, c1 + c2, cout))
+        got = W.conv_wide_split_int8(xs, [c1, c2], w, bw)
+        cat = W.concat_wide([x.astype(jnp.float32) for x in xs], bw, [c1, c2])
+        want = W.conv_wide(cat, w.astype(jnp.float32), bw, h_fold=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def _quant_quality(model, x, seed=0):
+    params, state = model.init(jax.random.PRNGKey(seed))
+    fp = fold_params(params, state)
+    ref, _ = model.apply(params, state, x, train=False)
+    qp = Q.quantize_unet(model, fp, x)
+    ql, blk = Q.apply_wide_int8(model, qp, x)
+    assert blk[0] == "wide"
+    ref, ql = np.asarray(ref), np.asarray(ql)
+    cos = float((ref * ql).sum()
+                / (np.linalg.norm(ref) * np.linalg.norm(ql) + 1e-12))
+    agree = float((ref.argmax(-1) == ql.argmax(-1)).mean())
+    return cos, agree, ref, ql
+
+
+class TestQuantizedForward:
+    @pytest.mark.parametrize("maker,bilinear", [
+        (unet_s, False), (unet_s, True),
+        (unet_sa, False), (unet_t, False),
+    ])
+    def test_close_to_float(self, maker, bilinear):
+        model = maker(bilinear=bilinear)
+        x = np.random.RandomState(3).rand(2, 64, 64).astype(np.float32)
+        cos, agree, ref, ql = _quant_quality(model, x)
+        assert cos > 0.999, cos
+        assert agree > 0.99, agree
+        # logits stay within a small absolute band of the float forward
+        assert np.abs(ref - ql).max() < 0.05 * max(np.abs(ref).max(), 1e-3)
+
+    def test_scales_transfer_across_sizes(self):
+        """Per-tensor scales: calibrate at 64^2, run at 96^2."""
+        model = unet_s()
+        params, state = model.init(jax.random.PRNGKey(0))
+        fp = fold_params(params, state)
+        rng = np.random.RandomState(4)
+        qp = Q.quantize_unet(model, fp, rng.rand(2, 64, 64).astype(np.float32))
+        x2 = rng.rand(1, 96, 96).astype(np.float32)
+        ref, _ = model.apply(params, state, x2, train=False)
+        ql, _ = Q.apply_wide_int8(model, qp, x2)
+        agree = (np.asarray(ref).argmax(-1) == np.asarray(ql).argmax(-1)).mean()
+        assert agree > 0.99, agree
+
+    def test_class_major_matches_unpacked(self):
+        model = unet_s()
+        params, state = model.init(jax.random.PRNGKey(1))
+        fp = fold_params(params, state)
+        x = np.random.RandomState(5).rand(1, 32, 32).astype(np.float32)
+        qp = Q.quantize_unet(model, fp, x)
+        dense, _ = Q.apply_wide_int8(model, qp, x)
+        from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+            argmax_class_major,
+        )
+
+        cm, blk = Q.apply_wide_int8(model, qp, x, unpack_output=False,
+                                    class_major=True)
+        pred = W.unpack_pred(blk, argmax_class_major(cm, model.n_classes))
+        np.testing.assert_array_equal(
+            np.asarray(pred), np.asarray(dense).argmax(-1))
+
+
+class TestPredictorInt8:
+    def _mk(self, **kw):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+
+        model = unet_t(**{k: v for k, v in kw.items()
+                          if k in ("n_classes", "bilinear")})
+        params, state = model.init(jax.random.PRNGKey(2))
+        pkw = {k: v for k, v in kw.items()
+               if k not in ("n_classes", "bilinear")}
+        return model, params, state, Predictor(
+            model, params, state, quantize=True, **pkw)
+
+    def test_auto_calibration_and_agreement(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+
+        model, params, state, pq = self._mk()
+        pf = Predictor(model, params, state)
+        x = np.random.RandomState(6).rand(2, 64, 64, 1).astype(np.float32)
+        assert pq._qparams is None
+        got = pq.predict_array(x)
+        assert pq._qparams is not None  # calibrated on the first batch
+        want = pf.predict_array(x)
+        assert (got == want).mean() > 0.99
+        # second call reuses the calibration (no rebuild)
+        qp = pq._qparams
+        pq.predict_array(x)
+        assert pq._qparams is qp
+
+    def test_binary_head(self):
+        model, params, state, pq = self._mk(n_classes=1)
+        x = np.random.RandomState(7).rand(1, 32, 32, 1).astype(np.float32)
+        out = pq.predict_array(x)
+        assert out.shape == (1, 32, 32) and set(np.unique(out)) <= {0, 1}
+
+    def test_tiled_path_quantized(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+
+        model, params, state, pq = self._mk(tile_threshold=32 * 32)
+        pq.tile, pq.tile_halo = 32, 16
+        x = np.random.RandomState(8).rand(1, 64, 64, 1).astype(np.float32)
+        got = pq.predict_array(x)  # 64^2 > threshold -> tiled, quantized
+        # same windows through the float tiled path: the only delta is
+        # quantization (border effects of the short halo are identical)
+        pf = Predictor(model, params, state, tile_threshold=32 * 32)
+        pf.tile, pf.tile_halo = 32, 16
+        want = pf.predict_array(x)
+        assert got.shape == want.shape == (1, 64, 64)
+        assert (got == want).mean() > 0.99
+
+    def test_quantize_requires_foldable_unet(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+
+        model = unet_t()
+        params, state = model.init(jax.random.PRNGKey(3))
+        with pytest.raises(ValueError):
+            Predictor(model, params, state, quantize=True, fold_bn=False)
+
+    def test_non_wide_shape_falls_back_to_float(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+
+        model, params, state, pq = self._mk()
+        pf = Predictor(model, params, state)
+        # degenerate batch (24 -> 16 crop < 32): calibration is skipped and
+        # the float path serves it bit-exactly
+        x = np.random.RandomState(9).rand(1, 24, 24, 1).astype(np.float32)
+        got, want = pq.predict_array(x), pf.predict_array(x)
+        assert pq._qparams is None
+        np.testing.assert_array_equal(got, want)
+        # after calibrating on a wide-friendly batch, non-16-multiple shapes
+        # still route to the float path (wide layout unsupported there)
+        pq.calibrate(np.random.RandomState(10)
+                     .rand(1, 64, 64, 1).astype(np.float32))
+        got2 = pq.predict_array(x)
+        np.testing.assert_array_equal(got2, want)

@@ -45,6 +45,10 @@ def get_args():
     parser.add_argument("--num-devices", type=int, default=None,
                         help="Serve data-parallel over this many devices "
                              "(batch sharded, params replicated)")
+    parser.add_argument("--int8", action="store_true", default=False,
+                        help="int8 serving: per-channel weight quantization "
+                             "+ first-batch activation calibration "
+                             "(UNet family; near-exact — see PARITY.md)")
     return parser.parse_args()
 
 
@@ -94,6 +98,10 @@ def main():
                     "--num-devices is ignored for .stablehlo models: the "
                     "exported module has a fixed single-device program; "
                     "export per-device or use live weights for DP serving")
+            if args.int8:
+                logging.warning("--int8 is ignored for .stablehlo models "
+                                "(the exported program is already compiled); "
+                                "use live weights for int8 serving")
             predictor = StableHLOPredictor.from_file(
                 args.model, batch_size=args.batch_size)
             predictor.tile, predictor.tile_halo = args.tile, args.tile_halo
@@ -110,7 +118,7 @@ def main():
                 model, params, bn_state, batch_size=args.batch_size,
                 tile=args.tile, tile_halo=args.tile_halo,
                 tile_threshold=args.tile_threshold,
-                num_devices=args.num_devices)
+                num_devices=args.num_devices, quantize=args.int8)
     except Exception:
         logging.exception("Model load failed")
         return 1

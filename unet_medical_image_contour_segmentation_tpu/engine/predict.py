@@ -61,6 +61,16 @@ class Predictor:
     ``num_devices=N`` serves data-parallel: params replicated over a 1-D
     mesh, every batch sharded on dim 0 (ragged batches pad to a device
     multiple and crop back) — output identical to single-device.
+
+    ``quantize=True`` serves the UNet family in int8 (models/quantize.py):
+    weights quantize per-output-channel from the BN-folded kernels,
+    activation scales calibrate automatically on the FIRST batch predicted
+    (or explicitly via :meth:`calibrate`), and every 3x3 conv runs
+    int8 x int8 -> int32 on the MXU — measured 1.36x at the dominant conv
+    shape on v5e (benchmarks/probe_int8.py), with per-tensor scales so one
+    calibration serves every input size.  Opt-in: outputs are near-exact
+    (argmax-identical on random init; Dice deltas on trained checkpoints
+    documented in PARITY.md) but not bit-equal to the float path.
     """
 
     # dense-path pixel budget: above this, predict tiles the image (the
@@ -75,7 +85,8 @@ class Predictor:
     def __init__(self, model, params, bn_state, batch_size: int = 8,
                  fold_bn: bool = True, tile: int = 512, tile_halo: int = 96,
                  tile_threshold: Optional[int] = None,
-                 num_devices: Optional[int] = None):
+                 num_devices: Optional[int] = None,
+                 quantize: bool = False):
         self.model = model
         self.params = params
         self.bn_state = bn_state
@@ -96,6 +107,18 @@ class Predictor:
                 self.folded_params = fold_params(params, bn_state)
             except (KeyError, TypeError):
                 pass  # no conv+BN pairs to fold: fall back to live BN
+
+        self.quantize = quantize
+        self._qparams = None
+        if quantize:
+            need = {"inc", "down1", "up1", "outc"}
+            if self.folded_params is None or \
+                    not need <= set(self.folded_params):
+                raise ValueError(
+                    "quantize=True needs a UNet-family model with foldable "
+                    "BatchNorm (fold_bn=True); got "
+                    f"folded={self.folded_params is not None}"
+                )
 
         # data-parallel serving: batch sharded over a 1-D mesh, params
         # replicated; ragged batches pad to a device multiple and crop back
@@ -130,8 +153,53 @@ class Predictor:
             arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
         return jax.device_put(arr, NamedSharding(self._mesh, P("data"))), b
 
+    # -- int8 serving (models/quantize.py) --------------------------------
+
+    quantize = False  # instance attr set in __init__; class default for
+    _qparams = None   # subclasses that skip super().__init__
+
+    def _wide_ok(self, h: int, w: int) -> bool:
+        from ..models.wide_exec import supports_wide
+
+        return supports_wide(self.model, (1, h, w, getattr(self.model, "n_channels", 1)))
+
+    def calibrate(self, images) -> None:
+        """Calibrate the int8 activation scales on representative images.
+
+        ``images``: [B, H, W(, C)] float array.  Called automatically on the
+        first predicted batch when ``quantize=True``; call explicitly to pin
+        scales to a chosen calibration set.  H/W crop down to multiples of
+        16 (per-tensor scales are crop-insensitive).
+        """
+        from ..models.quantize import quantize_unet
+
+        arr = np.asarray(images)
+        h16, w16 = arr.shape[1] // 16 * 16, arr.shape[2] // 16 * 16
+        if h16 < 16 or w16 < 16:
+            raise ValueError(f"calibration images too small: {arr.shape}")
+        qp = quantize_unet(self.model, self.folded_params,
+                           jnp.asarray(arr[:, :h16, :w16]))
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            qp = jax.device_put(qp, NamedSharding(self._mesh, P()))
+        self._qparams = qp
+
+    def _ensure_quantized(self, images: np.ndarray) -> None:
+        """First-batch auto-calibration (bounded to 4 images).
+
+        Skips batches whose 16-multiple crop would be degenerate (< 32 px:
+        a 5-level UNet's bottleneck collapses) — such batches serve float
+        until a calibratable one arrives.
+        """
+        if not self.quantize or self._qparams is not None:
+            return
+        arr = np.asarray(images)
+        if arr.shape[1] // 16 * 16 >= 32 and arr.shape[2] // 16 * 16 >= 32:
+            self.calibrate(arr[:4])
+
     def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
-        key = (in_hw, out_hw)
+        key = (in_hw, out_hw, self._qparams is not None)
         if key not in self._step_cache:
             self._step_cache[key] = self._build_step(in_hw, out_hw)
         return self._step_cache[key]
@@ -140,6 +208,30 @@ class Predictor:
         model = self.model
         n_classes = getattr(model, "n_classes", 0)
         folded = self.folded_params
+
+        if self._qparams is not None and self._wide_ok(*in_hw):
+            from ..models.quantize import apply_wide_int8
+
+            qparams = self._qparams
+
+            @jax.jit
+            def run_q(params, bn_state, images):  # params/bn unused: quantized
+                if out_hw == in_hw and n_classes > 1:
+                    from ..losses.s2d_fused import argmax_class_major
+                    from ..ops.wide import unpack_pred
+
+                    logits_cm, blk = apply_wide_int8(
+                        model, qparams, images,
+                        unpack_output=False, class_major=True)
+                    return unpack_pred(blk, argmax_class_major(logits_cm, n_classes))
+                logits, _ = apply_wide_int8(model, qparams, images)
+                logits = bilinear_resize(
+                    logits, out_hw[0], out_hw[1], align_corners=False)
+                if n_classes == 1:
+                    return (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.int32)
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            return run_q
 
         @jax.jit
         def run(params, bn_state, images):
@@ -199,9 +291,15 @@ class Predictor:
         model = self.model
         folded = self.folded_params
         n_classes = getattr(model, "n_classes", 0)
+        qparams = self._qparams if (self._qparams is not None
+                                    and self._wide_ok(win, win)) else None
 
         def fwd(params, bn_state, tile_img):
-            if folded is not None:
+            if qparams is not None:  # int8 serving path
+                from ..models.quantize import apply_wide_int8
+
+                logits, _ = apply_wide_int8(model, qparams, tile_img)
+            elif folded is not None:
                 logits, _ = model.apply(folded, None, tile_img, train=False)
             else:
                 logits, _ = model.apply(params, bn_state, tile_img, train=False)
@@ -320,7 +418,8 @@ class Predictor:
             tpb = max(1, -(-self.tile_batch // self._ndev) * self._ndev)
             tpb = min(tpb, -(-gh * gw // self._ndev) * self._ndev)
             rank3 = c == 1 and self._rank3_transfer
-            key = ("tilegrid", n, c, h, w, tile, halo, tpb, rank3)
+            key = ("tilegrid", n, c, h, w, tile, halo, tpb, rank3,
+                   self._qparams is not None)
             if key not in self._step_cache:
                 self._step_cache[key] = self._build_tile_grid_step(
                     n, c, h, w, tile, halo, tpb, rank3
@@ -335,7 +434,7 @@ class Predictor:
                                   jnp.asarray(x))).astype(np.int32)
 
         padded = np.pad(images, ((0, 0), (halo, halo + ph), (halo, halo + pw), (0, 0)))
-        key = ("tile", win, tile, halo)
+        key = ("tile", win, tile, halo, self._qparams is not None)
         if key not in self._step_cache:
             self._step_cache[key] = self._build_tile_step(win, tile, halo)
         run = self._step_cache[key]
@@ -359,6 +458,7 @@ class Predictor:
         """images: [B, H, W, C] float -> [B, outH, outW] int32 class indices."""
         in_hw = images.shape[1:3]
         out_hw = tuple(out_hw or in_hw)
+        self._ensure_quantized(images)
         if self._use_tiling(in_hw, out_hw):
             return self._tiled_predict(images)
         run = self._step(tuple(in_hw), out_hw)
@@ -451,6 +551,7 @@ class Predictor:
         Subclass override point for custom inference backends.
         """
         in_hw = tuple(images.shape[1:3])
+        self._ensure_quantized(images)
         if self._use_tiling(in_hw, in_hw):
             return self._tiled_predict(images)
         run = self._step(in_hw, in_hw)

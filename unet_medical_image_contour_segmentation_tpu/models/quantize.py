@@ -1,0 +1,315 @@
+"""Post-training int8 quantization of the wide-layout eval forward.
+
+An opt-in serving mode (``Predictor(quantize=True)`` / ``predict.py --int8``)
+with no counterpart in the reference (it serves f32 torch); the win is
+TPU-physical: v5e has 2x int8 MXU peak and the predict path is HBM-bound, so
+halving the activation bytes measured 1.36x at the dominant level-0 conv
+shape with the full requant epilogue included (benchmarks/probe_int8.py).
+
+Scheme (standard PTQ, arranged for the wide layout's split/concat decoders):
+
+* **Weights**: symmetric per-output-channel int8, quantized from the
+  BN-folded kernels (models/fold_bn.py) with each input part's ACTIVATION
+  scale folded into the kernel's cin slice first (``w_eff = w * s_in[cin]``).
+  Folding input scales into the weights means mixed-scale inputs — the
+  decoder's (skip, upsample) pairs — need no per-part rescale: the int32
+  partial convs of ``conv_wide_split_int8`` share one dequant scale and sum
+  exactly in integers.
+* **Activations**: symmetric per-tensor scales from a one-shot calibration
+  forward (amax observers on every quantized-conv input/output).  Scales are
+  per-tensor scalars, so one calibration serves every input size.
+* **Placement**: every 3x3 DoubleConv conv runs int8 (the FLOP/byte
+  hotspots).  Upsample / ConvTranspose / SpatialAttention / the 1x1 head
+  stay in the float compute dtype: they are cheap, and bilinear
+  interpolation has no exact int8 form.  Encoder outputs requantize to int8
+  (maxpool and the skip feeds are scale-preserving); decoder DoubleConv
+  outputs dequantize straight to float (their only consumers are the float
+  ops), skipping a requant round trip.
+
+Eval-only and UNet-family-only (the topology walker mirrors
+``models/wide_exec.py:apply_wide``'s folded branch; a drift-guard test pins
+int8-dequantized logits to the float forward — tests/test_quantize.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import wide as W
+from .wide_exec import MAX_BW, _attention, _widths_from_params
+
+__all__ = ["calibrate_amax", "build_qparams", "quantize_unet", "apply_wide_int8"]
+
+
+def _amax(t) -> jnp.ndarray:
+    return jnp.max(jnp.abs(t.astype(jnp.float32)))
+
+
+def _quant_sym(x, s):
+    """f32 -> int8 on the symmetric grid with scale ``s`` (a scalar array)."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+
+
+def _qconv(parts, channels, entry, bw, *, requant):
+    """int8 conv + fused epilogue.
+
+    ``parts``: one int8 tensor, or a list for a kernel-split input.
+    Epilogue: int32 -> f32 * mul + badd, ReLU, then either int8 requant
+    (``mul``/``badd`` were pre-divided by the output scale at build time) or
+    a float dequant (mul = s_w, badd = bias).
+    """
+    if channels is None:
+        y = W.conv_wide_int8(parts, entry["w"], bw)
+    else:
+        y = W.conv_wide_split_int8(parts, channels, entry["w"], bw)
+    yf = y.astype(jnp.float32) * jnp.tile(entry["mul"], bw) \
+        + jnp.tile(entry["badd"], bw)
+    yf = jnp.maximum(yf, 0.0)
+    if requant:
+        return jnp.clip(jnp.round(yf), 0, 127).astype(jnp.int8)
+    return yf
+
+
+def _forward(model, p, x, *, quant: bool, class_major: bool,
+             unpack_output: bool):
+    """Shared topology walker: calibration (quant=False, p = folded params,
+    fills amax taps) and int8 execution (quant=True, p = qparams — same tree
+    shape as the folded params plus scale scalars).
+
+    Mirrors models/wide_exec.py:apply_wide's folded-eval branch exactly —
+    same level structure, same split/concat decisions — so the activation
+    scales line up with the tensors the int8 path consumes.
+    """
+    if x.ndim == 3:
+        x = x[..., None]
+    w = _widths_from_params(p)
+    cd = model.compute_dtype or jnp.float32
+    bws = [W.wide_block(c, MAX_BW) for c in w]
+    amax: Dict[str, jnp.ndarray] = {}
+
+    def dc(name, sub, xin, bw, channels=None, *, requant):
+        """DoubleConv on subtree ``sub``; xin is a tensor or a parts list."""
+        if quant:
+            y = _qconv(xin, channels, sub["conv1"], bw, requant=True)
+            return _qconv(y, None, sub["conv2"], bw, requant=requant)
+        if channels is None:
+            y = W.conv_wide(xin, sub["conv1"]["w"], bw, sub["conv1"]["b"],
+                            compute_dtype=cd, h_fold=False)
+        else:
+            y = W.conv_wide_split(xin, channels, sub["conv1"]["w"], bw,
+                                  sub["conv1"]["b"], compute_dtype=cd,
+                                  h_fold=False)
+        y = jax.nn.relu(y)
+        amax[f"{name}.c1"] = _amax(y)
+        y = jax.nn.relu(W.conv_wide(y, sub["conv2"]["w"], bw,
+                                    sub["conv2"]["b"], compute_dtype=cd,
+                                    h_fold=False))
+        amax[f"{name}.c2"] = _amax(y)
+        return y
+
+    # -- encoder ------------------------------------------------------------
+    x0 = W.pack(x, bws[0])
+    if quant:
+        x0 = _quant_sym(x0, p["s_x"])
+    else:
+        amax["x"] = _amax(x0)
+    # inc..down3 requantize (consumed by int8 convs via maxpool/skips, both
+    # scale-preserving); down4 dequantizes (its only consumer is the float
+    # up1 upsample/ConvTranspose)
+    cur = dc("inc", p["inc"], x0, bws[0], requant=True)
+    feats = [(cur, bws[0], w[0])]
+    cur_bw = bws[0]
+    for i in range(1, 5):
+        cur = W.max_pool2_wide(cur, cur_bw)
+        cur_bw = max(cur_bw // 2, 1)
+        if cur_bw != bws[i]:
+            cur = W.reblock(cur, cur_bw, bws[i])
+            cur_bw = bws[i]
+        cur = dc(f"down{i}", p[f"down{i}"], cur, cur_bw, requant=(i < 4))
+        if i < 4:
+            feats.append((cur, cur_bw, w[i]))
+
+    # -- decoder ------------------------------------------------------------
+    y, y_bw = cur, cur_bw  # float in quant mode: down4 dequantized
+    for i in range(1, 5):
+        skip, skip_bw, skip_c = feats[4 - i]
+        up = p[f"up{i}"]
+        in_c = y.shape[-1] // y_bw
+        if "upconv" in up:  # ConvTranspose2d(k2, s2), float
+            y = W.conv_transpose2_wide(y.astype(cd), up["upconv"]["w"], y_bw,
+                                       up["upconv"].get("b"), compute_dtype=cd)
+            up_c = in_c // 2
+        else:  # bilinear align_corners x2, float
+            y = W.upsample2_ac_wide(y.astype(cd), y_bw)
+            up_c = in_c
+        y_bw = 2 * y_bw
+        if y_bw != skip_bw:
+            y = W.reblock(y, y_bw, skip_bw)
+            y_bw = skip_bw
+        if quant:
+            y = _quant_sym(y, up["s_up"])
+        else:
+            amax[f"up{i}.up"] = _amax(y)
+        if "att" in up:
+            # SpatialAttention in float on the dequantized skip; its output
+            # is the skip times a sigmoid in (0,1), so |out| <= |skip| and
+            # the skip's OWN scale requantizes it, calibration-free
+            if quant:
+                skip_f = skip.astype(jnp.float32) * up["s_skip"]
+                att = _attention(up["att"], skip_f.astype(cd), skip_bw,
+                                 skip_c, cd=cd, h_fold=False)
+                att = _quant_sym(att, up["s_skip"])
+            else:
+                att = _attention(up["att"], skip, skip_bw, skip_c, cd=cd,
+                                 h_fold=False)
+            cat = W.concat_wide([att, y.astype(att.dtype)], y_bw,
+                                [skip_c, up_c])
+            y = dc(f"up{i}", up["conv"], cat, y_bw, requant=False)
+        else:
+            y = dc(f"up{i}", up["conv"], [skip, y.astype(skip.dtype)], y_bw,
+                   channels=[skip_c, up_c], requant=False)
+
+    # -- head (1x1 conv, float) ----------------------------------------------
+    head = W.conv1x1_wide_class_major if class_major else W.conv1x1_wide
+    logits = head(y.astype(cd), p["outc"]["w"], y_bw, p["outc"].get("b"),
+                  compute_dtype=cd)
+    logits = logits.astype(jnp.float32)
+    if unpack_output:
+        logits = W.unpack(logits, y_bw)
+    return logits, amax, y_bw
+
+
+# -- calibration ---------------------------------------------------------------
+
+def calibrate_amax(model, folded_params, images) -> Dict[str, float]:
+    """Run the float eval forward with amax observers on one or more batches.
+
+    ``images``: [B, H, W, C] (or rank-3 single-channel) float array with
+    H, W % 16 == 0.  Returns {tap name: amax} as python floats; taps are
+    per-tensor, so one calibration size serves every inference size.
+    """
+
+    @jax.jit
+    def run(fp, x):
+        _, amax, _ = _forward(model, fp, x, quant=False, class_major=False,
+                              unpack_output=False)
+        return amax
+
+    arr = jnp.asarray(images)
+    out: Optional[Dict[str, float]] = None
+    vals = {k: float(v) for k, v in jax.device_get(run(folded_params, arr)).items()}
+    out = vals
+    return out
+
+
+# -- qparams builder --------------------------------------------------------------
+
+def _quantize_kernel(w, b, s_in, s_out):
+    """HWIO kernel + bias -> {w: int8, mul, badd} with input scales folded.
+
+    ``s_in``: per-cin input-scale vector (f32, len cin) — constant for
+    single-part inputs, a per-part concatenation for split/concat inputs.
+    ``s_out``: output activation scale (requant) or None (float dequant).
+    """
+    w = np.asarray(w, np.float32)
+    b = np.asarray(b, np.float32)
+    w_eff = w * np.asarray(s_in, np.float32)[None, None, :, None]
+    s_w = np.maximum(np.abs(w_eff).max(axis=(0, 1, 2)) / 127.0, 1e-12)
+    w_q = np.clip(np.round(w_eff / s_w), -127, 127).astype(np.int8)
+    if s_out is None:
+        mul, badd = s_w, b
+    else:
+        mul, badd = s_w / s_out, b / s_out
+    return {"w": jnp.asarray(w_q), "mul": jnp.asarray(mul, jnp.float32),
+            "badd": jnp.asarray(badd, jnp.float32)}
+
+
+def build_qparams(model, folded_params, amax: Dict[str, float]):
+    """Folded params + calibration amaxes -> the int8 parameter pytree.
+
+    Same tree shape as the folded params (the walker is shared) with conv
+    entries replaced by {w:int8, mul, badd} and scale scalars added; the
+    requant-vs-dequant decisions are positional in the walker, not stored.
+    """
+    fp = folded_params
+    s = {k: max(v, 1e-12) / 127.0 for k, v in amax.items()}
+
+    def dc_entry(name, sub, s_in_vec, requant_out):
+        c1 = _quantize_kernel(sub["conv1"]["w"], sub["conv1"]["b"],
+                              s_in_vec, s[f"{name}.c1"])
+        cin2 = sub["conv2"]["w"].shape[2]
+        c2 = _quantize_kernel(
+            sub["conv2"]["w"], sub["conv2"]["b"],
+            np.full(cin2, s[f"{name}.c1"], np.float32),
+            s[f"{name}.c2"] if requant_out else None)
+        return {"conv1": c1, "conv2": c2}
+
+    qp = {"s_x": jnp.float32(s["x"]), "outc": fp["outc"]}
+    cin0 = fp["inc"]["conv1"]["w"].shape[2]
+    qp["inc"] = dc_entry("inc", fp["inc"],
+                         np.full(cin0, s["x"], np.float32), True)
+    prev = "inc"
+    for i in range(1, 5):
+        cin = fp[f"down{i}"]["conv1"]["w"].shape[2]
+        qp[f"down{i}"] = dc_entry(
+            f"down{i}", fp[f"down{i}"],
+            np.full(cin, s[f"{prev}.c2"], np.float32), i < 4)
+        prev = f"down{i}"
+
+    w = _widths_from_params(fp)
+    skip_scale_names = ["down3.c2", "down2.c2", "down1.c2", "inc.c2"]
+    for i in range(1, 5):
+        p_up = fp[f"up{i}"]
+        skip_c = w[4 - i]
+        s_skip = s[skip_scale_names[i - 1]]
+        s_up = s[f"up{i}.up"]
+        cin = p_up["conv"]["conv1"]["w"].shape[2]
+        s_in = np.concatenate([
+            np.full(skip_c, s_skip, np.float32),
+            np.full(cin - skip_c, s_up, np.float32),
+        ])
+        entry = {
+            "conv": {
+                "conv1": _quantize_kernel(p_up["conv"]["conv1"]["w"],
+                                          p_up["conv"]["conv1"]["b"],
+                                          s_in, s[f"up{i}.c1"]),
+                "conv2": _quantize_kernel(
+                    p_up["conv"]["conv2"]["w"], p_up["conv"]["conv2"]["b"],
+                    np.full(p_up["conv"]["conv2"]["w"].shape[2],
+                            s[f"up{i}.c1"], np.float32), None),
+            },
+            "s_up": jnp.float32(s_up),
+        }
+        if "upconv" in p_up:
+            entry["upconv"] = p_up["upconv"]
+        if "att" in p_up:
+            entry["att"] = p_up["att"]
+            entry["s_skip"] = jnp.float32(s_skip)
+        qp[f"up{i}"] = entry
+    return qp
+
+
+def quantize_unet(model, folded_params, calib_images):
+    """Calibrate + build in one call -> qparams for ``apply_wide_int8``."""
+    amax = calibrate_amax(model, folded_params, calib_images)
+    return build_qparams(model, folded_params, amax)
+
+
+# -- execution --------------------------------------------------------------------
+
+def apply_wide_int8(model, qparams, x, *, unpack_output: bool = True,
+                    class_major: bool = False):
+    """int8 eval forward.  Returns (logits_f32, ("wide", bw_out)).
+
+    ``unpack_output=False`` + ``class_major=True`` mirrors
+    ``UNet.apply_fused`` for the fused argmax predict path.
+    """
+    assert not (class_major and unpack_output), "class-major lanes cannot unpack"
+    logits, _, bw = _forward(model, qparams, x, quant=True,
+                             class_major=class_major,
+                             unpack_output=unpack_output)
+    return logits, ("wide", bw)

@@ -44,6 +44,8 @@ __all__ = [
     "unpack_int",
     "reblock",
     "conv_wide",
+    "conv_wide_int8",
+    "conv_wide_split_int8",
     "conv1x1_wide",
     "conv1x1_wide_class_major",
     "conv_transpose2_wide",
@@ -244,6 +246,56 @@ def conv_wide(
         y = y.reshape(x.shape[0] // f, -1, y.shape[2], y.shape[3])
     if bias is not None:
         y = y + jnp.tile(bias, bw // stride).astype(y.dtype)
+    return y
+
+
+def conv_wide_int8(x: jnp.ndarray, w: jnp.ndarray, bw: int) -> jnp.ndarray:
+    """k x k SAME conv on an int8 wide tensor -> int32 accumulators.
+
+    x: (B, H, W/bw, bw*Cin) int8; w: (k, k, Cin, Cout) int8 (LOGICAL HWIO —
+    the wide kernel scatter happens here).  A true int8 x int8 -> int32 MXU
+    conv: 2x the bf16 peak on v5e and half the HBM activation bytes —
+    measured 1.36x/1.09x/1.12x vs bf16 at unet_s's level-0/2/4 shapes with
+    the full requant epilogue included (benchmarks/probe_int8.py).
+
+    The scatter einsum runs in f32 (entries are exact copies of int8 values,
+    so the cast back to int8 is lossless).  Eval-only: stride 1, no h_fold
+    (the folded forward is slower — CLAUDE.md), no bias; the dequant /
+    requant epilogues live in models/quantize.py.
+    """
+    assert x.dtype == jnp.int8 and w.dtype == jnp.int8, (x.dtype, w.dtype)
+    k = w.shape[0]
+    if bw == 1:
+        dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(
+            x, w, (1, 1), [(k // 2, k // 2)] * 2,
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+    ws, cen, R = _scatter_kernel_wide(w.astype(jnp.float32), bw)
+    ws = ws.astype(jnp.int8)
+    dn = lax.conv_dimension_numbers(x.shape, ws.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        x, ws, (1, 1), [(k // 2, k // 2), (cen, R - 1 - cen)],
+        dimension_numbers=dn, preferred_element_type=jnp.int32)
+
+
+def conv_wide_split_int8(xs, channels, w, bw: int) -> jnp.ndarray:
+    """``conv_wide_int8(concat_wide(xs, bw, channels), w, bw)`` without the
+    concat: kernel-split partial convs summed in int32 (exact — integer
+    addition is associative, unlike the float split in conv_wide_split).
+    Mixed input scales are handled UPSTREAM by folding each part's
+    activation scale into the kernel's cin slice before weight quantization
+    (models/quantize.py), so the int32 partials share one dequant scale.
+    """
+    assert len(xs) == len(channels), (len(xs), len(channels))
+    assert sum(channels) == w.shape[2], (channels, w.shape)
+    if bw == 1:  # dense channel concat is already shuffle-free at bw == 1
+        return conv_wide_int8(jnp.concatenate(xs, axis=-1), w, bw)
+    off, y = 0, None
+    for x, c in zip(xs, channels):
+        part = conv_wide_int8(x, w[:, :, off:off + c, :], bw)
+        y = part if y is None else y + part
+        off += c
     return y
 
 
