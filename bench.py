@@ -124,7 +124,50 @@ def bench_ours(hw, batch, n_steps, model_name="unet_s", bilinear=False,
         t_preds.append((time.perf_counter() - t0) / n_steps)
     t_pred, pred_spread = _med_spread(t_preds)
 
-    return batch / t_train, batch / t_pred, train_spread, pred_spread
+    # int8 serving path (Predictor(quantize=True)): measured alongside the
+    # float headline — an opt-in mode, so reported as extra fields, not as
+    # the comparable-to-baseline number.  UNet-family + foldable BN only.
+    extras = {}
+    if pred_bn is None:  # fold_params succeeded above
+        try:
+            from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+                argmax_class_major,
+            )
+            from unet_medical_image_contour_segmentation_tpu.models.quantize import (
+                apply_wide_int8, quantize_unet,
+            )
+            from unet_medical_image_contour_segmentation_tpu.ops.wide import (
+                unpack_pred,
+            )
+
+            qparams = quantize_unet(model, pred_params, image[:2])
+
+            @jax.jit
+            def predict_chain_q(x):
+                def body(carry, _):
+                    cm, blk = apply_wide_int8(model, qparams, carry,
+                                              unpack_output=False,
+                                              class_major=True)
+                    pred = unpack_pred(blk, argmax_class_major(cm, 3))
+                    return carry + 1e-12 * pred.astype(carry.dtype), ()
+                out, _ = lax.scan(body, x, None, length=n_steps)
+                return jnp.sum(out[0, 0, 0])
+
+            _ = float(predict_chain_q(image))  # compile + run
+            t_qs = []
+            for _rep in range(repeats):
+                t0 = time.perf_counter()
+                _ = float(predict_chain_q(image))
+                t_qs.append((time.perf_counter() - t0) / n_steps)
+            t_q, q_spread = _med_spread(t_qs)
+            extras = {
+                "predict_int8_slices_per_s": round(batch / t_q, 2),
+                "predict_int8_spread_pct": round(q_spread, 1),
+            }
+        except Exception:
+            pass
+
+    return batch / t_train, batch / t_pred, train_spread, pred_spread, extras
 
 
 def bench_torch_baseline(hw, batch, n_steps, model_name="unet_s", bilinear=False,
@@ -331,7 +374,7 @@ def main():
         }))
         return
 
-    train_sps, pred_sps, train_spread, pred_spread = bench_ours(
+    train_sps, pred_sps, train_spread, pred_spread, extras = bench_ours(
         hw, args.batch, args.steps, args.model, args.bilinear, args.repeats)
     ours = combined(train_sps, pred_sps)
 
@@ -397,6 +440,7 @@ def main():
         "predict_spread_pct": round(pred_spread, 1),
         "baseline_combined_slices_per_s": round(baseline, 2) if baseline else None,
         "batch": args.batch,
+        **extras,
         **flops_fields,
     }
     print(json.dumps(result))
