@@ -287,26 +287,60 @@ class Predictor:
     def _tile_core_forward(self, win: int, core: int, halo: int):
         """(params, bn_state, [B,win,win,C]) -> [B,core,core] int32 argmax
         of the central core.  Shared by the host- and device-tiled paths;
-        StableHLOPredictor overrides it with the exported module's call."""
+        StableHLOPredictor overrides it with the exported module's call.
+
+        Multiclass cores argmax in the packed class-major lane layout and
+        unpack ONE int map (as the dense ``_build_step`` does) instead of
+        unpacking ``n_classes`` logit planes to pixel space first — tile
+        windows are fixed aligned sizes, so the fused layouts qualify unless
+        tile/halo are set to non-16-multiples (then the NHWC path runs)."""
         model = self.model
         folded = self.folded_params
         n_classes = getattr(model, "n_classes", 0)
+        n_ch = getattr(model, "n_channels", 1)
         qparams = self._qparams if (self._qparams is not None
                                     and self._wide_ok(win, win)) else None
+        fused = (n_classes > 1 and hasattr(model, "supports_fused")
+                 and model.supports_fused((1, win, win, n_ch)))
 
         def fwd(params, bn_state, tile_img):
             if qparams is not None:  # int8 serving path
                 from ..models.quantize import apply_wide_int8
 
-                logits, _ = apply_wide_int8(model, qparams, tile_img)
-            elif folded is not None:
-                logits, _ = model.apply(folded, None, tile_img, train=False)
+                if n_classes > 1:
+                    from ..losses.s2d_fused import argmax_class_major
+                    from ..ops.wide import unpack_pred
+
+                    cm, blk = apply_wide_int8(model, qparams, tile_img,
+                                              unpack_output=False,
+                                              class_major=True)
+                    pred = unpack_pred(blk, argmax_class_major(cm, n_classes))
+                else:
+                    logits, _ = apply_wide_int8(model, qparams, tile_img)
+                    pred = jax.nn.sigmoid(
+                        logits[..., 0].astype(jnp.float32)) > 0.5
+            elif fused:
+                from ..losses.s2d_fused import argmax_class_major
+                from ..ops.wide import unpack_pred
+
+                if folded is not None:
+                    cm, _, blk = model.apply_fused(folded, None, tile_img,
+                                                   train=False)
+                else:
+                    cm, _, blk = model.apply_fused(params, bn_state, tile_img,
+                                                   train=False)
+                pred = unpack_pred(blk, argmax_class_major(cm, n_classes))
             else:
-                logits, _ = model.apply(params, bn_state, tile_img, train=False)
-            if n_classes == 1:  # binary: sigmoid > 0.5 (see _build_step)
-                pred = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32)) > 0.5
-            else:
-                pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+                if folded is not None:
+                    logits, _ = model.apply(folded, None, tile_img, train=False)
+                else:
+                    logits, _ = model.apply(params, bn_state, tile_img,
+                                            train=False)
+                if n_classes == 1:  # binary: sigmoid > 0.5 (see _build_step)
+                    pred = jax.nn.sigmoid(
+                        logits[..., 0].astype(jnp.float32)) > 0.5
+                else:
+                    pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
             return pred[:, halo: halo + core, halo: halo + core].astype(jnp.int32)
 
         return fwd
