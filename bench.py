@@ -302,6 +302,41 @@ def bench_latency(hw=(512, 512), n_steps=128,
         if name in ref_comments:
             out[name]["ref_comment_ms"] = ref_comments[name]
 
+        if bn is None:  # fold succeeded: the int8 serving path applies
+            try:
+                from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+                    argmax_class_major,
+                )
+                from unet_medical_image_contour_segmentation_tpu.models.quantize import (
+                    apply_wide_int8, quantize_unet,
+                )
+                from unet_medical_image_contour_segmentation_tpu.ops.wide import (
+                    unpack_pred,
+                )
+
+                qparams = quantize_unet(model, folded, image)
+
+                @jax.jit
+                def chain_q(x, _m=model, _qp=qparams):
+                    def body(carry, _):
+                        cm, blk = apply_wide_int8(_m, _qp, carry,
+                                                  unpack_output=False,
+                                                  class_major=True)
+                        pred = unpack_pred(blk, argmax_class_major(cm, 3))
+                        return carry + 1e-12 * pred.astype(carry.dtype), ()
+                    y, _ = lax.scan(body, x, None, length=n_steps)
+                    return jnp.sum(y[0, 0])
+
+                _ = float(chain_q(image))  # compile + run
+                q_trials = []
+                for _rep in range(3):
+                    t0 = time.perf_counter()
+                    _ = float(chain_q(image))
+                    q_trials.append((time.perf_counter() - t0) / n_steps * 1e3)
+                out[name]["tpu_int8_ms"] = round(_med_spread(q_trials)[0], 3)
+            except Exception:
+                pass
+
     # torch-CPU b=1 latency on the matching reference models
     try:
         sys.path.insert(0, "/root/reference")

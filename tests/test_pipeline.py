@@ -419,3 +419,102 @@ class TestTiledPredictor:
         assert calls, "tiled path was not taken"
         assert (tmp_path / "o" / "big.png").exists()
         assert results[str(p)].shape == (192, 192)
+
+
+class TestUint8Transfer:
+    """Raw-uint8 upload + device-side normalization (predict_array docstring).
+
+    Contract: argmax parity with host preprocessing — the device /255 can
+    differ from numpy's by 1 f32 ulp on TPU.  On the CPU test backend the
+    divisions agree bitwise, so these asserts are exact.
+    """
+
+    def _setup(self, seed=7):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(seed))
+        return Predictor, model, params, bn_state
+
+    def test_dense_uint8_matches_host_normalized(self):
+        Predictor, model, params, bn = self._setup()
+        rng = np.random.default_rng(20)
+        raw = rng.integers(0, 256, (2, 96, 96, 1), dtype=np.uint8)
+        host = raw.astype(np.float32) / np.float32(255.0)
+        p = Predictor(model, params, bn, tile_threshold=0)
+        np.testing.assert_array_equal(p.predict_array(raw),
+                                      p.predict_array(host))
+
+    def test_low_value_images_stay_unscaled(self):
+        """preprocess's per-image rule: all pixels <= 1 means NO /255."""
+        Predictor, model, params, bn = self._setup()
+        rng = np.random.default_rng(21)
+        raw = rng.integers(0, 2, (2, 96, 96, 1), dtype=np.uint8)
+        host = raw.astype(np.float32)  # unscaled: division by 1.0 is exact
+        p = Predictor(model, params, bn, tile_threshold=0)
+        np.testing.assert_array_equal(p.predict_array(raw),
+                                      p.predict_array(host))
+
+    def test_per_image_rule_in_one_batch(self):
+        """One batch mixing a full-range and an all-{0,1} image normalizes
+        each by ITS own max, exactly as per-image host preprocessing."""
+        Predictor, model, params, bn = self._setup()
+        rng = np.random.default_rng(22)
+        a = rng.integers(0, 256, (96, 96, 1), dtype=np.uint8)
+        b = rng.integers(0, 2, (96, 96, 1), dtype=np.uint8)
+        raw = np.stack([a, b])
+        host = np.stack([a.astype(np.float32) / np.float32(255.0),
+                         b.astype(np.float32)])
+        p = Predictor(model, params, bn, tile_threshold=0)
+        np.testing.assert_array_equal(p.predict_array(raw),
+                                      p.predict_array(host))
+
+    def test_tiled_uint8_matches_dense_uint8(self):
+        """The device-grid program's in-window normalization (uint8 padded
+        buffer, per-image divisor) matches the dense uint8 step bit-for-bit
+        (both divide with the same jnp op)."""
+        Predictor, model, params, bn = self._setup()
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, (1, 160, 224, 1), dtype=np.uint8)
+        tiled = Predictor(model, params, bn, tile=64, tile_halo=48,
+                          tile_threshold=1)
+        dense = Predictor(model, params, bn, tile_threshold=0)
+        np.testing.assert_array_equal(tiled.predict_array(img),
+                                      dense.predict_array(img))
+
+    def test_predict_paths_fast_transfer_matches(self, tmp_path):
+        Predictor, model, params, bn = self._setup()
+        rng = np.random.default_rng(24)
+        for name in ("a.png", "b.png"):
+            Image.fromarray(
+                rng.integers(0, 256, (96, 96), dtype=np.uint8)
+            ).save(tmp_path / name)
+        p = Predictor(model, params, bn, tile_threshold=0)
+        paths = [str(tmp_path / "a.png"), str(tmp_path / "b.png")]
+        slow = p.predict_paths(paths, save=False, postprocess=False)
+        fast = p.predict_paths(paths, save=False, postprocess=False,
+                               fast_transfer=True)
+        for k in paths:
+            np.testing.assert_array_equal(fast[k], slow[k])
+
+    def test_quantize_calibrates_from_uint8(self):
+        """uint8 first batch host-normalizes for calibration; the quantized
+        forward then serves the raw-uint8 upload path."""
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_s
+
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+
+        model = unet_s(1, 3)
+        params, bn = model.init(jax.random.PRNGKey(9))
+        rng = np.random.default_rng(25)
+        raw = rng.integers(0, 256, (2, 64, 64, 1), dtype=np.uint8)
+        q = Predictor(model, params, bn, tile_threshold=0, quantize=True)
+        out = q.predict_array(raw)  # auto-calibrates from the uint8 batch
+        assert out.shape == (2, 64, 64)
+        host = raw.astype(np.float32) / np.float32(255.0)
+        qf = Predictor(model, params, bn, tile_threshold=0, quantize=True)
+        agree = (qf.predict_array(host) == out).mean()
+        assert agree > 0.999, agree

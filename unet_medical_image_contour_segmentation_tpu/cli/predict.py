@@ -49,6 +49,10 @@ def get_args():
                         help="int8 serving: per-channel weight quantization "
                              "+ first-batch activation calibration "
                              "(UNet family; near-exact — see PARITY.md)")
+    parser.add_argument("--fast-transfer", action="store_true", default=False,
+                        help="Upload raw uint8 pixels and normalize on "
+                             "device (4x less host->device traffic; argmax "
+                             "parity with host preprocessing)")
     return parser.parse_args()
 
 
@@ -128,6 +132,7 @@ def main():
         output_dir=args.output,
         postprocess=args.postprocess,
         save=not args.no_save,
+        fast_transfer=args.fast_transfer,
     )
     logging.info("Predicted %d/%d images", len(results), len(in_files))
 

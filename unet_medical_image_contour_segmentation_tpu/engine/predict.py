@@ -41,6 +41,29 @@ def mask_to_image(mask: np.ndarray) -> Image.Image:
     return Image.fromarray(vis)
 
 
+def _norm_uint8_host(images: np.ndarray) -> np.ndarray:
+    """uint8 [B, ...] -> float32, mirroring ``BasicDataset.preprocess``'s
+    per-image rule (data/dataset.py:150): divide by 255 iff any pixel > 1."""
+    out = images.astype(np.float32)
+    axes = tuple(range(1, out.ndim))
+    mx = out.max(axis=axes, keepdims=True)
+    return np.where(mx > 1, out / np.float32(255.0), out)
+
+
+def _norm_uint8_dev(x: jnp.ndarray) -> jnp.ndarray:
+    """Device-side counterpart of :func:`_norm_uint8_host` (inside jit).
+
+    Uses the same f32 division; on TPU the lowered divide can differ from
+    the host's by 1 ulp (reciprocal-multiply), far below the bf16 compute
+    resolution — the uint8 transfer path's contract is argmax parity with
+    host preprocessing, not bitwise logits (tests/test_pipeline.py).
+    """
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(1, x.ndim))
+    mx = jnp.max(xf, axis=axes, keepdims=True)
+    return xf / jnp.where(mx > 1, jnp.float32(255.0), jnp.float32(1.0))
+
+
 def collect_image_files(input_dir: str) -> List[str]:
     """Recursive png/jpg/jpeg walk (predict.py:61-68)."""
     files = []
@@ -174,6 +197,8 @@ class Predictor:
         from ..models.quantize import quantize_unet
 
         arr = np.asarray(images)
+        if arr.dtype == np.uint8:
+            arr = _norm_uint8_host(arr)
         h16, w16 = arr.shape[1] // 16 * 16, arr.shape[2] // 16 * 16
         if h16 < 16 or w16 < 16:
             raise ValueError(f"calibration images too small: {arr.shape}")
@@ -198,13 +223,15 @@ class Predictor:
         if arr.shape[1] // 16 * 16 >= 32 and arr.shape[2] // 16 * 16 >= 32:
             self.calibrate(arr[:4])
 
-    def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
-        key = (in_hw, out_hw, self._qparams is not None)
+    def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
+              from_uint8: bool = False):
+        key = (in_hw, out_hw, self._qparams is not None, from_uint8)
         if key not in self._step_cache:
-            self._step_cache[key] = self._build_step(in_hw, out_hw)
+            self._step_cache[key] = self._build_step(in_hw, out_hw, from_uint8)
         return self._step_cache[key]
 
-    def _build_step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+    def _build_step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
+                    from_uint8: bool = False):
         model = self.model
         n_classes = getattr(model, "n_classes", 0)
         folded = self.folded_params
@@ -216,6 +243,8 @@ class Predictor:
 
             @jax.jit
             def run_q(params, bn_state, images):  # params/bn unused: quantized
+                if from_uint8:
+                    images = _norm_uint8_dev(images)
                 if out_hw == in_hw and n_classes > 1:
                     from ..losses.s2d_fused import argmax_class_major
                     from ..ops.wide import unpack_pred
@@ -235,6 +264,8 @@ class Predictor:
 
         @jax.jit
         def run(params, bn_state, images):
+            if from_uint8:
+                images = _norm_uint8_dev(images)
             if (
                 out_hw == in_hw
                 and n_classes > 1
@@ -350,7 +381,8 @@ class Predictor:
         return jax.jit(self._tile_core_forward(win, core, halo))
 
     def _build_tile_grid_step(self, n: int, c: int, h: int, w: int,
-                              tile: int, halo: int, tpb: int, rank3: bool):
+                              tile: int, halo: int, tpb: int, rank3: bool,
+                              from_uint8: bool = False):
         """ONE jitted program for the whole tile grid.
 
         Device-pads the raw image (halo + grid rounding), then ``lax.scan``s
@@ -395,6 +427,15 @@ class Predictor:
             spatial_pad = ((0, 0), (halo, halo + ph), (halo, halo + pw))
             padded = jnp.pad(image, spatial_pad if rank3
                              else spatial_pad + ((0, 0),))
+            if from_uint8:
+                # the padded buffer STAYS uint8 (4x less HBM traffic per
+                # window gather); each window divides by the per-image
+                # divisor, matching _norm_uint8_dev (zero-padding cannot
+                # raise a uint8 max, so padded and raw maxima agree)
+                axes = tuple(range(1, padded.ndim))
+                mx = jnp.max(padded.astype(jnp.float32), axis=axes,
+                             keepdims=True)
+                div = jnp.where(mx > 1, jnp.float32(255.0), jnp.float32(1.0))
 
             def body(out, off):
                 if rank3:
@@ -403,14 +444,16 @@ class Predictor:
                             padded, (0, o[0], o[1]), (n, win, win)
                         )
                     )(off)
-                    x = wins.reshape(tpb * n, win, win)
                 else:
                     wins = jax.vmap(
                         lambda o: lax.dynamic_slice(
                             padded, (0, o[0], o[1], 0), (n, win, win, c)
                         )
                     )(off)
-                    x = wins.reshape(tpb * n, win, win, c)
+                if from_uint8:  # wins: (tpb, n, ...); div broadcasts per image
+                    wins = wins.astype(jnp.float32) / div[None]
+                x = (wins.reshape(tpb * n, win, win) if rank3
+                     else wins.reshape(tpb * n, win, win, c))
                 if mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -438,6 +481,9 @@ class Predictor:
         ``tile_on_device=False`` falls back to one dispatch per tile with
         host stitching."""
         tile, halo = self.tile, self.tile_halo
+        from_uint8 = images.dtype == np.uint8
+        if from_uint8 and not self.tile_on_device:
+            images, from_uint8 = _norm_uint8_host(images), False
         n, h, w = images.shape[:3]
         c = images.shape[3] if images.ndim == 4 else 1
         if images.ndim == 3:
@@ -453,10 +499,10 @@ class Predictor:
             tpb = min(tpb, -(-gh * gw // self._ndev) * self._ndev)
             rank3 = c == 1 and self._rank3_transfer
             key = ("tilegrid", n, c, h, w, tile, halo, tpb, rank3,
-                   self._qparams is not None)
+                   self._qparams is not None, from_uint8)
             if key not in self._step_cache:
                 self._step_cache[key] = self._build_tile_grid_step(
-                    n, c, h, w, tile, halo, tpb, rank3
+                    n, c, h, w, tile, halo, tpb, rank3, from_uint8
                 )
             run = self._step_cache[key]
             x = images[..., 0] if rank3 else images  # pad happens on device
@@ -489,13 +535,22 @@ class Predictor:
         return out[:, :h, :w]
 
     def predict_array(self, images: np.ndarray, out_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
-        """images: [B, H, W, C] float -> [B, outH, outW] int32 class indices."""
+        """images: [B, H, W, C] float -> [B, outH, outW] int32 class indices.
+
+        ``uint8`` input uploads RAW and normalizes on device (per-image /255
+        iff max > 1, as ``BasicDataset.preprocess``): 4x less host->device
+        transfer — the interactive bottleneck for large scans.  Argmax
+        parity with host normalization (the device divide can differ by
+        1 f32 ulp); pass float for bitwise-identical logits.
+        """
+        if images.dtype == np.uint8 and not self._uint8_transfer:
+            images = _norm_uint8_host(np.asarray(images))
         in_hw = images.shape[1:3]
         out_hw = tuple(out_hw or in_hw)
         self._ensure_quantized(images)
         if self._use_tiling(in_hw, out_hw):
             return self._tiled_predict(images)
-        run = self._step(tuple(in_hw), out_hw)
+        run = self._step(tuple(in_hw), out_hw, images.dtype == np.uint8)
         if images.ndim == 4 and images.shape[-1] == 1:
             images = images[..., 0]  # rank-3 transfer avoids HBM lane padding
         x, b = self._shard_batch(images)
@@ -516,13 +571,24 @@ class Predictor:
         postprocess: bool = True,
         save: bool = True,
         overwrite_suffix: str = ".png",
+        fast_transfer: bool = False,
     ) -> Dict[str, np.ndarray]:
-        """Batch-predict files, grouped by image size; returns {path: mask}."""
+        """Batch-predict files, grouped by image size; returns {path: mask}.
+
+        ``fast_transfer=True`` uploads raw uint8 pixels and normalizes on
+        device (4x less host->device traffic; the upload dominates large
+        scans).  Valid because predict runs preprocess at scale=1: the
+        identity-size PIL resize is bit-exact and the /255 moves on-device
+        (argmax parity — see :meth:`predict_array`).
+        """
         in_files = list(in_files)
+        raw_uint8 = fast_transfer and self._uint8_transfer
 
         def load(path):
             try:
                 img = Image.open(path).convert("L")
+                if raw_uint8:
+                    return path, np.asarray(img)[..., None]
                 return path, BasicDataset.preprocess(None, img, scale=1, is_mask=False)
             except Exception:
                 log.exception("Failed to open %s", path)
@@ -578,17 +644,22 @@ class Predictor:
     # lane-padded 128x in HBM); exported StableHLO modules have a fixed
     # rank-4 signature, so StableHLOPredictor turns this off
     _rank3_transfer = True
+    # raw-uint8 upload + device normalization; backends with a fixed float
+    # signature (StableHLOPredictor) turn this off and host-normalize instead
+    _uint8_transfer = True
 
     def _predict_device(self, images: np.ndarray):
         """Dispatch one batch; returns a (possibly device) prediction array.
 
         Subclass override point for custom inference backends.
         """
+        if images.dtype == np.uint8 and not self._uint8_transfer:
+            images = _norm_uint8_host(images)
         in_hw = tuple(images.shape[1:3])
         self._ensure_quantized(images)
         if self._use_tiling(in_hw, in_hw):
             return self._tiled_predict(images)
-        run = self._step(in_hw, in_hw)
+        run = self._step(in_hw, in_hw, images.dtype == np.uint8)
         if self._rank3_transfer and images.ndim == 4 and images.shape[-1] == 1:
             images = images[..., 0]
         x, _ = self._shard_batch(images)  # padded rows drop in the zip-post
@@ -608,6 +679,7 @@ class StableHLOPredictor(Predictor):
     """
 
     _rank3_transfer = False  # exported signature is rank-4 (B, H, W, C)
+    _uint8_transfer = False  # exported signature is float: host-normalize
 
     def __init__(self, exported_bytes: bytes, batch_size: int = 8,
                  tile: int = 512, tile_halo: int = 96,
@@ -627,8 +699,10 @@ class StableHLOPredictor(Predictor):
         with open(path, "rb") as f:
             return cls(f.read(), batch_size=batch_size)
 
-    def _build_step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+    def _build_step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
+                    from_uint8: bool = False):
         exported = self.exported
+        assert not from_uint8, "uint8 input is host-normalized for StableHLO"
 
         @jax.jit
         def run(images):
@@ -651,10 +725,13 @@ class StableHLOPredictor(Predictor):
         return fwd
 
     def predict_array(self, images, out_hw=None):
+        images = np.asarray(images)
+        if images.dtype == np.uint8:  # exported signature is float: host-norm
+            images = _norm_uint8_host(images)
         in_hw = images.shape[1:3]
         out_hw = tuple(out_hw or in_hw)
         if self._use_tiling(in_hw, out_hw):
-            return self._tiled_predict(np.asarray(images))
+            return self._tiled_predict(images)
         run = self._step(tuple(in_hw), out_hw)
         return np.asarray(run(jnp.asarray(images)))
 
