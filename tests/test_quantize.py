@@ -193,3 +193,60 @@ class TestPredictorInt8:
                      .rand(1, 64, 64, 1).astype(np.float32))
         got2 = pq.predict_array(x)
         np.testing.assert_array_equal(got2, want)
+
+
+class TestQuantizedUNetPP:
+    """UNet++ int8: the nested walker (models/quantize.py:_forward_pp)."""
+
+    @pytest.mark.parametrize("bilinear,deep", [
+        (False, False), (True, False), (False, True),
+    ])
+    def test_close_to_float(self, bilinear, deep):
+        from unet_medical_image_contour_segmentation_tpu.models.unet_nested import (
+            unet_pp_s,
+        )
+
+        model = unet_pp_s(1, 3, bilinear=bilinear, deep_supervision=deep)
+        x = np.random.RandomState(11).rand(2, 64, 64).astype(np.float32)
+        cos, agree, ref, ql = _quant_quality(model, x)
+        assert cos > 0.999, cos
+        assert agree > 0.99, agree
+        assert np.abs(ref - ql).max() < 0.05 * max(np.abs(ref).max(), 1e-3)
+
+    def test_class_major_matches_unpacked(self):
+        from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+            argmax_class_major,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.unet_nested import (
+            unet_pp_s,
+        )
+
+        model = unet_pp_s(1, 3)
+        params, state = model.init(jax.random.PRNGKey(12))
+        fp = fold_params(params, state)
+        x = np.random.RandomState(13).rand(1, 32, 32).astype(np.float32)
+        qp = Q.quantize_unet(model, fp, x)
+        dense, _ = Q.apply_wide_int8(model, qp, x)
+        cm, blk = Q.apply_wide_int8(model, qp, x, unpack_output=False,
+                                    class_major=True)
+        pred = W.unpack_pred(blk, argmax_class_major(cm, model.n_classes))
+        np.testing.assert_array_equal(
+            np.asarray(pred), np.asarray(dense).argmax(-1))
+
+    def test_predictor_int8_pp(self):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.unet_nested import (
+            unet_pp_s,
+        )
+
+        model = unet_pp_s(1, 3)
+        params, state = model.init(jax.random.PRNGKey(14))
+        pq = Predictor(model, params, state, quantize=True)
+        pf = Predictor(model, params, state)
+        x = np.random.RandomState(15).rand(2, 64, 64, 1).astype(np.float32)
+        got = pq.predict_array(x)
+        assert pq._qparams is not None and "x0_0" in pq._qparams
+        want = pf.predict_array(x)
+        assert (got == want).mean() > 0.99

@@ -134,13 +134,14 @@ class Predictor:
         self.quantize = quantize
         self._qparams = None
         if quantize:
-            need = {"inc", "down1", "up1", "outc"}
-            if self.folded_params is None or \
-                    not need <= set(self.folded_params):
+            fp = self.folded_params
+            unet_keys = {"inc", "down1", "up1", "outc"}
+            pp_keys = {"x0_0", "x1_0"}
+            if fp is None or not (unet_keys <= set(fp) or pp_keys <= set(fp)):
                 raise ValueError(
-                    "quantize=True needs a UNet-family model with foldable "
-                    "BatchNorm (fold_bn=True); got "
-                    f"folded={self.folded_params is not None}"
+                    "quantize=True needs a UNet-family or UNet++ model with "
+                    "foldable BatchNorm (fold_bn=True); got "
+                    f"folded={fp is not None}"
                 )
 
         # data-parallel serving: batch sharded over a 1-D mesh, params
@@ -182,9 +183,12 @@ class Predictor:
     _qparams = None   # subclasses that skip super().__init__
 
     def _wide_ok(self, h: int, w: int) -> bool:
+        shape = (1, h, w, getattr(self.model, "n_channels", 1))
+        if hasattr(self.model, "_supports_wide"):  # UNet++: depth-derived
+            return self.model._supports_wide(shape)
         from ..models.wide_exec import supports_wide
 
-        return supports_wide(self.model, (1, h, w, getattr(self.model, "n_channels", 1)))
+        return supports_wide(self.model, shape)
 
     def calibrate(self, images) -> None:
         """Calibrate the int8 activation scales on representative images.

@@ -26,9 +26,12 @@ Scheme (standard PTQ, arranged for the wide layout's split/concat decoders):
   outputs dequantize straight to float (their only consumers are the float
   ops), skipping a requant round trip.
 
-Eval-only and UNet-family-only (the topology walker mirrors
-``models/wide_exec.py:apply_wide``'s folded branch; a drift-guard test pins
-int8-dequantized logits to the float forward — tests/test_quantize.py).
+Eval-only.  Two topology walkers share the machinery: the UNet family
+(mirroring ``models/wide_exec.py:apply_wide``'s folded branch) and UNet++
+(mirroring ``models/unet_nested.py:_apply_wide``, where each nested node's
+j-way kernel-split conv sums int32 partials with per-part scales folded
+into the kernel).  Drift-guard tests pin int8-dequantized logits to the
+float forward — tests/test_quantize.py.
 """
 
 from __future__ import annotations
@@ -42,7 +45,8 @@ import numpy as np
 from ..ops import wide as W
 from .wide_exec import MAX_BW, _attention, _widths_from_params
 
-__all__ = ["calibrate_amax", "build_qparams", "quantize_unet", "apply_wide_int8"]
+__all__ = ["calibrate_amax", "build_qparams", "build_qparams_pp",
+           "quantize_unet", "apply_wide_int8"]
 
 
 def _amax(t) -> jnp.ndarray:
@@ -74,25 +78,15 @@ def _qconv(parts, channels, entry, bw, *, requant):
     return yf
 
 
-def _forward(model, p, x, *, quant: bool, class_major: bool,
-             unpack_output: bool):
-    """Shared topology walker: calibration (quant=False, p = folded params,
-    fills amax taps) and int8 execution (quant=True, p = qparams — same tree
-    shape as the folded params plus scale scalars).
+def _make_dc(quant: bool, cd, amax: Dict[str, jnp.ndarray]):
+    """DoubleConv runner shared by the topology walkers.
 
-    Mirrors models/wide_exec.py:apply_wide's folded-eval branch exactly —
-    same level structure, same split/concat decisions — so the activation
-    scales line up with the tensors the int8 path consumes.
+    ``dc(name, sub, xin, bw, channels=None, requant=...)``: xin is a tensor
+    or a parts list; quant mode runs int8 convs from qparams entries, calib
+    mode runs the folded float convs and fills ``amax`` taps.
     """
-    if x.ndim == 3:
-        x = x[..., None]
-    w = _widths_from_params(p)
-    cd = model.compute_dtype or jnp.float32
-    bws = [W.wide_block(c, MAX_BW) for c in w]
-    amax: Dict[str, jnp.ndarray] = {}
 
     def dc(name, sub, xin, bw, channels=None, *, requant):
-        """DoubleConv on subtree ``sub``; xin is a tensor or a parts list."""
         if quant:
             y = _qconv(xin, channels, sub["conv1"], bw, requant=True)
             return _qconv(y, None, sub["conv2"], bw, requant=requant)
@@ -110,6 +104,27 @@ def _forward(model, p, x, *, quant: bool, class_major: bool,
                                     h_fold=False))
         amax[f"{name}.c2"] = _amax(y)
         return y
+
+    return dc
+
+
+def _forward(model, p, x, *, quant: bool, class_major: bool,
+             unpack_output: bool):
+    """Shared topology walker: calibration (quant=False, p = folded params,
+    fills amax taps) and int8 execution (quant=True, p = qparams — same tree
+    shape as the folded params plus scale scalars).
+
+    Mirrors models/wide_exec.py:apply_wide's folded-eval branch exactly —
+    same level structure, same split/concat decisions — so the activation
+    scales line up with the tensors the int8 path consumes.
+    """
+    if x.ndim == 3:
+        x = x[..., None]
+    w = _widths_from_params(p)
+    cd = model.compute_dtype or jnp.float32
+    bws = [W.wide_block(c, MAX_BW) for c in w]
+    amax: Dict[str, jnp.ndarray] = {}
+    dc = _make_dc(quant, cd, amax)
 
     # -- encoder ------------------------------------------------------------
     x0 = W.pack(x, bws[0])
@@ -183,6 +198,104 @@ def _forward(model, p, x, *, quant: bool, class_major: bool,
     return logits, amax, y_bw
 
 
+def _pp_requant(d: int, i: int, j: int) -> bool:
+    """Does UNet++ node X[i][j] have later int8-conv consumers?
+
+    Same-depth skips X[i][j'] (j' > j) exist iff j < d-1-i; they (and the
+    scale-preserving maxpool to X[i+1][0]) consume int8.  The remaining
+    consumers — the up path to X[i-1][j+1] and the 1x1 heads — are float
+    and dequantize via the stored node scale.
+    """
+    return j < d - 1 - i
+
+
+def _forward_pp(model, p, x, *, quant: bool, class_major: bool,
+                unpack_output: bool):
+    """UNet++ topology walker (mirrors models/unet_nested.py:_apply_wide).
+
+    Quantization scheme as the UNet walker: every DoubleConv runs int8 with
+    per-part input scales folded into the kernel cin slices (the nested
+    nodes' j-way kernel-split convs then sum int32 partials exactly); the
+    up path (ConvTranspose / bilinear) runs float on the dequantized source
+    node and its output quantizes with its own calibrated scale.
+    """
+    if x.ndim == 3:
+        x = x[..., None]
+    d = model.depth
+    cd = model.compute_dtype or jnp.float32
+    w = [int(p[f"x{i}_0"]["conv2"]["w"].shape[-1]) for i in range(d)]
+    bws = [W.wide_block(c, MAX_BW) for c in w]
+    amax: Dict[str, jnp.ndarray] = {}
+    dc = _make_dc(quant, cd, amax)
+
+    x0 = W.pack(x, bws[0])
+    if quant:
+        x0 = _quant_sym(x0, p["s_x"])
+    else:
+        amax["x"] = _amax(x0)
+
+    nodes = {}
+    cur = x0
+    for i in range(d):
+        if i > 0:
+            cur = W.max_pool2_wide(nodes[(i - 1, 0)], bws[i - 1])
+            cur_bw = max(bws[i - 1] // 2, 1)
+            if cur_bw != bws[i]:
+                cur = W.reblock(cur, cur_bw, bws[i])
+        nodes[(i, 0)] = dc(f"x{i}_0", p[f"x{i}_0"], cur, bws[i],
+                           requant=_pp_requant(d, i, 0))
+
+    for j in range(1, d):
+        for i in range(d - j):
+            b = bws[i]
+            # skips X[i][0..j-1] all requant (k <= j-1 < d-1-i): int8 parts
+            skips = [nodes[(i, k)] for k in range(j)]
+            src = nodes[(i + 1, j - 1)]
+            if quant and _pp_requant(d, i + 1, j - 1):
+                src = src.astype(jnp.float32) * p["s_nodes"][f"x{i + 1}_{j - 1}"]
+            src = src.astype(cd)
+            up_name = f"up{i}_{j}"
+            if model.bilinear:
+                upped = W.upsample2_ac_wide(src, bws[i + 1])
+                up_c = w[i + 1]
+            else:
+                p_up = p[up_name]
+                upped = W.conv_transpose2_wide(src, p_up["w"], bws[i + 1],
+                                               p_up.get("b"), compute_dtype=cd)
+                up_c = w[i]
+            up_bw = 2 * bws[i + 1]
+            if up_bw != b:
+                upped = W.reblock(upped, up_bw, b)
+            if quant:
+                upped = _quant_sym(upped, p["s_ups"][up_name])
+            else:
+                amax[f"{up_name}.up"] = _amax(upped)
+                upped = upped.astype(skips[0].dtype)
+            nodes[(i, j)] = dc(f"x{i}_{j}", p[f"x{i}_{j}"], skips + [upped], b,
+                               channels=[w[i]] * j + [up_c],
+                               requant=_pp_requant(d, i, j))
+
+    b0 = bws[0]
+    head = W.conv1x1_wide_class_major if class_major else W.conv1x1_wide
+    if model.deep_supervision:
+        outs = []
+        for j in range(1, d):
+            t = nodes[(0, j)]
+            if quant and _pp_requant(d, 0, j):
+                t = t.astype(jnp.float32) * p["s_nodes"][f"x0_{j}"]
+            hp = p[f"out{j}"]
+            outs.append(head(t.astype(cd), hp["w"], b0, hp.get("b"),
+                             compute_dtype=cd))
+        logits = sum(outs) / len(outs)
+    else:
+        logits = head(nodes[(0, d - 1)].astype(cd), p["outc"]["w"], b0,
+                      p["outc"].get("b"), compute_dtype=cd)
+    logits = logits.astype(jnp.float32)
+    if unpack_output:
+        logits = W.unpack(logits, b0)
+    return logits, amax, b0
+
+
 # -- calibration ---------------------------------------------------------------
 
 def calibrate_amax(model, folded_params, images) -> Dict[str, float]:
@@ -193,10 +306,12 @@ def calibrate_amax(model, folded_params, images) -> Dict[str, float]:
     per-tensor, so one calibration size serves every inference size.
     """
 
+    walker = _forward_pp if "x0_0" in folded_params else _forward
+
     @jax.jit
     def run(fp, x):
-        _, amax, _ = _forward(model, fp, x, quant=False, class_major=False,
-                              unpack_output=False)
+        _, amax, _ = walker(model, fp, x, quant=False, class_major=False,
+                            unpack_output=False)
         return amax
 
     arr = jnp.asarray(images)
@@ -293,9 +408,76 @@ def build_qparams(model, folded_params, amax: Dict[str, float]):
     return qp
 
 
+def build_qparams_pp(model, folded_params, amax: Dict[str, float]):
+    """UNet++ folded params + calibration amaxes -> the int8 pytree.
+
+    Stored scales: ``s_nodes[name]`` dequantizes a requantized node for its
+    float consumers (the up path, deep-supervision heads); ``s_ups[name]``
+    quantizes an upsampled tensor for the nested convs.  Requant decisions
+    are positional (``_pp_requant``), not stored.
+    """
+    fp = folded_params
+    d = model.depth
+    s = {k: max(v, 1e-12) / 127.0 for k, v in amax.items()}
+    w = [int(fp[f"x{i}_0"]["conv2"]["w"].shape[-1]) for i in range(d)]
+
+    def dc_entry(name, sub, s_in_vec, requant_out):
+        c1 = _quantize_kernel(sub["conv1"]["w"], sub["conv1"]["b"],
+                              s_in_vec, s[f"{name}.c1"])
+        cin2 = sub["conv2"]["w"].shape[2]
+        c2 = _quantize_kernel(
+            sub["conv2"]["w"], sub["conv2"]["b"],
+            np.full(cin2, s[f"{name}.c1"], np.float32),
+            s[f"{name}.c2"] if requant_out else None)
+        return {"conv1": c1, "conv2": c2}
+
+    qp = {"s_x": jnp.float32(s["x"]), "s_nodes": {}, "s_ups": {}}
+    if model.deep_supervision:
+        for j in range(1, d):
+            qp[f"out{j}"] = fp[f"out{j}"]
+    else:
+        qp["outc"] = fp["outc"]
+
+    prev_scale = s["x"]
+    for i in range(d):
+        name = f"x{i}_0"
+        cin = fp[name]["conv1"]["w"].shape[2]
+        rq = _pp_requant(d, i, 0)
+        qp[name] = dc_entry(name, fp[name],
+                            np.full(cin, prev_scale, np.float32), rq)
+        if rq:
+            qp["s_nodes"][name] = jnp.float32(s[f"{name}.c2"])
+        prev_scale = s[f"{name}.c2"]
+
+    for j in range(1, d):
+        for i in range(d - j):
+            name = f"x{i}_{j}"
+            up_name = f"up{i}_{j}"
+            s_up = s[f"{up_name}.up"]
+            up_c = w[i + 1] if model.bilinear else w[i]
+            s_in = np.concatenate(
+                [np.full(w[i], s[f"x{i}_{k}.c2"], np.float32)
+                 for k in range(j)]
+                + [np.full(up_c, s_up, np.float32)])
+            rq = _pp_requant(d, i, j)
+            qp[name] = dc_entry(name, fp[name], s_in, rq)
+            if rq:
+                qp["s_nodes"][name] = jnp.float32(s[f"{name}.c2"])
+            qp["s_ups"][up_name] = jnp.float32(s_up)
+            if not model.bilinear:
+                qp[up_name] = fp[up_name]
+    return qp
+
+
 def quantize_unet(model, folded_params, calib_images):
-    """Calibrate + build in one call -> qparams for ``apply_wide_int8``."""
+    """Calibrate + build in one call -> qparams for ``apply_wide_int8``.
+
+    Dispatches on the folded-param topology: UNet family (``inc``/``down*``)
+    or UNet++ (``x{i}_{j}`` nodes).
+    """
     amax = calibrate_amax(model, folded_params, calib_images)
+    if "x0_0" in folded_params:
+        return build_qparams_pp(model, folded_params, amax)
     return build_qparams(model, folded_params, amax)
 
 
@@ -309,7 +491,8 @@ def apply_wide_int8(model, qparams, x, *, unpack_output: bool = True,
     ``UNet.apply_fused`` for the fused argmax predict path.
     """
     assert not (class_major and unpack_output), "class-major lanes cannot unpack"
-    logits, _, bw = _forward(model, qparams, x, quant=True,
-                             class_major=class_major,
-                             unpack_output=unpack_output)
+    walker = _forward_pp if "x0_0" in qparams else _forward
+    logits, _, bw = walker(model, qparams, x, quant=True,
+                           class_major=class_major,
+                           unpack_output=unpack_output)
     return logits, ("wide", bw)
