@@ -250,3 +250,36 @@ class TestQuantizedUNetPP:
         assert pq._qparams is not None and "x0_0" in pq._qparams
         want = pf.predict_array(x)
         assert (got == want).mean() > 0.99
+
+
+class TestCalibrationPersistence:
+    def test_save_load_roundtrip_bit_exact(self, tmp_path):
+        """JSON amax roundtrip rebuilds identical qparams: same predictions."""
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+
+        model = unet_t()
+        params, state = model.init(jax.random.PRNGKey(4))
+        pq = Predictor(model, params, state, quantize=True)
+        x = np.random.RandomState(16).rand(2, 64, 64, 1).astype(np.float32)
+        got = pq.predict_array(x)  # auto-calibrates
+        path = tmp_path / "scales.json"
+        pq.save_calibration(str(path))
+        assert path.exists()
+
+        pq2 = Predictor(model, params, state, quantize=True)
+        pq2.load_calibration(str(path))
+        assert pq2._qparams is not None  # no calibration batch needed
+        np.testing.assert_array_equal(pq2.predict_array(x), got)
+
+    def test_save_before_calibration_raises(self, tmp_path):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+
+        model = unet_t()
+        params, state = model.init(jax.random.PRNGKey(5))
+        pq = Predictor(model, params, state, quantize=True)
+        with pytest.raises(ValueError):
+            pq.save_calibration(str(tmp_path / "s.json"))

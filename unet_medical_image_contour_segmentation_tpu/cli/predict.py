@@ -53,6 +53,11 @@ def get_args():
                         help="Upload raw uint8 pixels and normalize on "
                              "device (4x less host->device traffic; argmax "
                              "parity with host preprocessing)")
+    parser.add_argument("--int8-scales", default=None, metavar="JSON",
+                        help="With --int8: load the activation-scale "
+                             "calibration from this JSON if it exists, else "
+                             "calibrate on the first batch and save it there "
+                             "(restart-stable quantized serving)")
     return parser.parse_args()
 
 
@@ -127,6 +132,9 @@ def main():
         logging.exception("Model load failed")
         return 1
     logging.info("Model loaded!")
+    if args.int8 and args.int8_scales and os.path.exists(args.int8_scales):
+        predictor.load_calibration(args.int8_scales)
+        logging.info("Loaded int8 calibration from %s", args.int8_scales)
     results = predictor.predict_paths(
         in_files,
         output_dir=args.output,
@@ -135,6 +143,11 @@ def main():
         fast_transfer=args.fast_transfer,
     )
     logging.info("Predicted %d/%d images", len(results), len(in_files))
+    if (args.int8 and args.int8_scales
+            and not os.path.exists(args.int8_scales)
+            and getattr(predictor, "_amax", None) is not None):
+        predictor.save_calibration(args.int8_scales)
+        logging.info("Saved int8 calibration to %s", args.int8_scales)
 
     if args.viz:
         from PIL import Image

@@ -181,6 +181,7 @@ class Predictor:
 
     quantize = False  # instance attr set in __init__; class default for
     _qparams = None   # subclasses that skip super().__init__
+    _amax = None      # calibration amaxes (kept for save_calibration)
 
     def _wide_ok(self, h: int, w: int) -> bool:
         shape = (1, h, w, getattr(self.model, "n_channels", 1))
@@ -198,7 +199,7 @@ class Predictor:
         scales to a chosen calibration set.  H/W crop down to multiples of
         16 (per-tensor scales are crop-insensitive).
         """
-        from ..models.quantize import quantize_unet
+        from ..models.quantize import calibrate_amax
 
         arr = np.asarray(images)
         if arr.dtype == np.uint8:
@@ -206,13 +207,42 @@ class Predictor:
         h16, w16 = arr.shape[1] // 16 * 16, arr.shape[2] // 16 * 16
         if h16 < 16 or w16 < 16:
             raise ValueError(f"calibration images too small: {arr.shape}")
-        qp = quantize_unet(self.model, self.folded_params,
-                           jnp.asarray(arr[:, :h16, :w16]))
+        self._set_amax(calibrate_amax(self.model, self.folded_params,
+                                      jnp.asarray(arr[:, :h16, :w16])))
+
+    def _set_amax(self, amax: Dict[str, float]) -> None:
+        """Build (and shard) the int8 qparams from calibration amaxes."""
+        from ..models.quantize import build_qparams, build_qparams_pp
+
+        builder = (build_qparams_pp if "x0_0" in self.folded_params
+                   else build_qparams)
+        qp = builder(self.model, self.folded_params, amax)
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             qp = jax.device_put(qp, NamedSharding(self._mesh, P()))
+        self._amax = dict(amax)
         self._qparams = qp
+
+    def save_calibration(self, path: str) -> None:
+        """Persist the activation-scale calibration (a small JSON of
+        per-tap amax floats).  Rebuilding the int8 weights from it is
+        deterministic, so a saved calibration makes quantized serving
+        restart-stable and calibration-data-free."""
+        if getattr(self, "_amax", None) is None:
+            raise ValueError("not calibrated yet: call calibrate() or "
+                             "predict one batch first")
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self._amax, f, indent=1, sort_keys=True)
+
+    def load_calibration(self, path: str) -> None:
+        """Load a calibration saved by :meth:`save_calibration`."""
+        import json
+
+        with open(path) as f:
+            self._set_amax(json.load(f))
 
     def _ensure_quantized(self, images: np.ndarray) -> None:
         """First-batch auto-calibration (bounded to 4 images).
