@@ -149,18 +149,29 @@ class TestBenchSweep:
             {"config": "unet_s", "value": 440.0, "predict_slices_per_s": 778.0,
              "train_slices_per_s": 307.0, "vs_baseline": 676.0,
              "fwd_gflops_per_slice": 24.13, "train_mfu_pct": 11.3,
+             "train_spread_pct": 4.0, "predict_spread_pct": 2.0,
+             "predict_int8_slices_per_s": 1000.0},
+        ])
+        assert ("| unet_s | 440.0 | 778.0 / 307.0 | 1000.0 | ±2% "
+                "| 676.0x | 24.13 | 11.3% |") in md
+        # int8 column renders an em-dash when bench.py didn't measure it
+        md_noq = sweep.render_table([
+            {"config": "unet_s", "value": 440.0, "predict_slices_per_s": 778.0,
+             "train_slices_per_s": 307.0, "vs_baseline": 676.0,
+             "fwd_gflops_per_slice": 24.13, "train_mfu_pct": 11.3,
              "train_spread_pct": 4.0, "predict_spread_pct": 2.0},
         ])
-        assert ("| unet_s | 440.0 | 778.0 / 307.0 | ±2% "
-                "| 676.0x | 24.13 | 11.3% |") in md
+        assert ("| unet_s | 440.0 | 778.0 / 307.0 | — | ±2% "
+                "| 676.0x | 24.13 | 11.3% |") in md_noq
         # missing spread fields render as an em-dash, not a crash
         md2 = sweep.render_table([{"config": "x", "value": 1.0}])
         assert "| x | 1.0 " in md2 and "—" in md2
 
         lat = sweep.render_latency_table({"per_model": {
             "unet_s": {"tpu_ms": 2.55, "spread_pct": 4.0,
-                       "ref_comment_ms": 5.0, "torch_cpu_ms": 428.0},
+                       "ref_comment_ms": 5.0, "torch_cpu_ms": 428.0,
+                       "tpu_int8_ms": 2.1},
             "unet_pp_s": {"tpu_ms": 6.1},
         }})
-        assert "| unet_s | 2.55 | ±2% | 5.0 | 428.0 | 168x |" in lat
-        assert "| unet_pp_s | 6.1 | — | — | — | — |" in lat
+        assert "| unet_s | 2.55 | 2.1 | ±2% | 5.0 | 428.0 | 168x |" in lat
+        assert "| unet_pp_s | 6.1 | — | — | — | — | — |" in lat
