@@ -175,3 +175,45 @@ class TestBenchSweep:
         }})
         assert "| unet_s | 2.55 | 2.1 | ±2% | 5.0 | 428.0 | 168x |" in lat
         assert "| unet_pp_s | 6.1 | — | — | — | — | — |" in lat
+
+    def test_compose_table_preserves_sections(self):
+        """Sweep rewrites must carry forward whatever this run didn't
+        produce: the old latency section and all hand-written sections."""
+        import importlib.util
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "sweep", Path(__file__).parent.parent / "benchmarks" / "sweep.py"
+        )
+        sweep = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(sweep)
+
+        row = {"config": "unet_s", "value": 440.0}
+        lat = {"per_model": {"unet_s": {"tpu_ms": 2.55}}}
+        old = (sweep.render_table([row])
+               + sweep.render_latency_table(lat)
+               + "\n" + sweep.HAND_MARK
+               + "\n\n## Tiled inference\n\nhand-written probe results\n")
+
+        # rows only (--configs/--quick): old latency + hand sections survive
+        out = sweep.compose_table(old, [dict(row, value=500.0)], None)
+        assert "| unet_s | 500.0 " in out
+        assert "## Single-slice latency" in out and "| 2.55 |" in out
+        assert "hand-written probe results" in out
+
+        # latency only (all throughput configs failed): old table survives
+        out = sweep.compose_table(
+            old, [], {"per_model": {"unet_s": {"tpu_ms": 9.9}}})
+        assert "| unet_s | 440.0 " in out
+        assert "| 9.9 |" in out and "| 2.55 |" not in out
+        assert "hand-written probe results" in out
+
+        # full run: both regenerate, hand sections still survive, once
+        out = sweep.compose_table(old, [dict(row, value=500.0)],
+                                  {"per_model": {"unet_s": {"tpu_ms": 9.9}}})
+        assert "| unet_s | 500.0 " in out and "| 9.9 |" in out
+        assert out.count(sweep.HAND_MARK) == 1
+        assert "hand-written probe results" in out
+        # no previous file at all
+        out = sweep.compose_table("", [row], None)
+        assert "| unet_s | 440.0 " in out
