@@ -217,3 +217,40 @@ class TestBenchSweep:
         # no previous file at all
         out = sweep.compose_table("", [row], None)
         assert "| unet_s | 440.0 " in out
+
+    def test_compose_table_merges_partial_runs(self):
+        """--configs re-benches SOME configs; the others' rows carry
+        forward (in their old position) instead of being deleted."""
+        import importlib.util
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "sweep", Path(__file__).parent.parent / "benchmarks" / "sweep.py"
+        )
+        sweep = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(sweep)
+
+        old = sweep.render_table([
+            {"config": "unet_t", "value": 1000.0},
+            {"config": "unet_s", "value": 580.0},
+            {"config": "unet", "value": 123.0},
+        ])
+        out = sweep.compose_table(
+            old, [{"config": "unet_s", "value": 600.0},
+                  {"config": "brand_new", "value": 5.0}], None)
+        assert "| unet_t | 1000.0 " in out      # carried forward
+        assert "| unet | 123.0 " in out         # carried forward
+        assert "| unet_s | 600.0 " in out       # updated in place
+        assert "| unet_s | 580.0 " not in out
+        assert "| brand_new | 5.0 " in out      # appended
+        lines = [l for l in out.splitlines() if l.startswith("|")
+                 and not l.startswith("|---") and not l.startswith("| config")]
+        assert [l.split("|")[1].strip() for l in lines] == [
+            "unet_t", "unet_s", "unet", "brand_new"]
+        # stale-format old rows (different column count) are dropped, not
+        # merged into a ragged table
+        stale = old.replace("| unet | 123.0 | — / — | — | — | — | — | — |",
+                            "| unet | 123.0 | old |")
+        out = sweep.compose_table(stale, [{"config": "unet_s",
+                                           "value": 600.0}], None)
+        assert "| unet | 123.0 | old |" not in out

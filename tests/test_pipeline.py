@@ -195,6 +195,53 @@ class TestEndToEnd:
         assert data["shapes"] and data["shapes"][0]["shape_type"] == "polygon"
         assert os.path.exists(os.path.join(out_dir, "scan1_contour_overlay.png"))
 
+    def test_pipeline_int8_scales_roundtrip(self, tmp_path):
+        """cfg.int8: run A calibrates + persists the scales JSON, run B loads
+        it; stage-3 masks are identical across the two serving processes."""
+        from unet_medical_image_contour_segmentation_tpu.config import PipelineConfig
+        from unet_medical_image_contour_segmentation_tpu.engine.checkpoint import (
+            save_checkpoint,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+        from unet_medical_image_contour_segmentation_tpu.pipeline.seg_main import (
+            run_pipeline,
+        )
+
+        w, h = 96, 80
+        rng = np.random.default_rng(9)
+        frame = rng.integers(20000, 40000, (h, w), dtype=np.uint16)
+        frame[20:60, 30:80] = 60000
+        raw_dir = tmp_path / "raws"
+        raw_dir.mkdir()
+        _write_raw(raw_dir / "scan1.raw", frame)
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(1))
+        ckpt = tmp_path / "m.npz"
+        save_checkpoint(str(ckpt), params, bn_state, mask_values=[0, 128, 255])
+
+        scales = tmp_path / "scales.json"
+        masks = []
+        for run in ("a", "b"):
+            cfg = PipelineConfig(
+                input_raw=str(raw_dir), output_root=str(tmp_path / f"res_{run}"),
+                width=w, height=h, window_width=30000, window_length=35000,
+                model=str(ckpt), target_size=64,
+                int8=True, int8_scales=str(scales),
+            )
+            try:
+                run_pipeline(cfg)
+            except RuntimeError as e:
+                # random weights may find no contours in stage 5
+                assert "stage 5" in str(e)
+            assert scales.exists(), "calibration JSON not persisted"
+            mdir = tmp_path / f"res_{run}" / "3_pred_masks"
+            files = sorted(os.listdir(mdir))
+            assert files
+            masks.append([np.asarray(Image.open(mdir / f)) for f in files])
+        for a, b in zip(*masks):
+            np.testing.assert_array_equal(a, b)
+
 
 class TestPredictor:
     def test_predict_paths_batches_and_saves(self, tmp_path):

@@ -31,6 +31,14 @@ def main():
     parser.add_argument("--window-length", "-wl", type=int, required=True)
     parser.add_argument("--model", "-m", required=True, help="Prediction checkpoint (.pth/.npz)")
     parser.add_argument("--target-size", type=int, default=512)
+    parser.add_argument("--int8", action="store_true",
+                        help="Serve stage 3 with the int8-quantized forward "
+                             "(PTQ, first-batch calibration; argmax parity)")
+    parser.add_argument("--int8-scales", default=None, metavar="JSON",
+                        help="With --int8: load the activation-scale "
+                             "calibration from this JSON if it exists, else "
+                             "calibrate on the first batch and save it there "
+                             "(stable across per-scan-batch reruns)")
     args = parser.parse_args()
 
     from unet_medical_image_contour_segmentation_tpu.config import PipelineConfig
@@ -50,6 +58,8 @@ def main():
         window_length=args.window_length,
         model=args.model,
         target_size=args.target_size,
+        int8=args.int8,
+        int8_scales=args.int8_scales,
     )
     try:
         result_dir = run_pipeline(cfg)

@@ -102,6 +102,8 @@ class PipelineConfig:
     window_length: int = 0
     model: str = ""
     target_size: int = 512
+    int8: bool = False                     # quantized (PTQ) serving, stage 3
+    int8_scales: Optional[str] = None      # persist/load calibration JSON
 
 
 def add_dataclass_args(parser, cls, defaults=None):

@@ -80,7 +80,10 @@ def run_pipeline(cfg: PipelineConfig, predictor=None) -> str:
     # stage 3: contour prediction (batched on TPU)
     log.info("===== stage 3: contour prediction =====")
     if predictor is None:
-        predictor = _build_predictor(cfg.model)
+        predictor = _build_predictor(cfg.model, int8=cfg.int8)
+        if cfg.int8 and cfg.int8_scales and os.path.exists(cfg.int8_scales):
+            predictor.load_calibration(cfg.int8_scales)
+            log.info("loaded int8 calibration from %s", cfg.int8_scales)
     norm_pngs = [
         os.path.join(dirs["normalized_png"], f)
         for f in sorted(os.listdir(dirs["normalized_png"]))
@@ -90,6 +93,12 @@ def run_pipeline(cfg: PipelineConfig, predictor=None) -> str:
         raise RuntimeError("stage 3 found no normalized PNGs, aborting pipeline")
     predictor.predict_paths(norm_pngs, output_dir=dirs["pred_masks"], postprocess=True)
     _check_nonempty("stage 3 (predict)", dirs["pred_masks"])
+    if (cfg.int8 and cfg.int8_scales and not os.path.exists(cfg.int8_scales)
+            and getattr(predictor, "_amax", None) is not None):
+        # first-batch auto-calibration just ran: persist it so reruns of the
+        # subprocess-per-scan-batch workflow serve identical int8 weights
+        predictor.save_calibration(cfg.int8_scales)
+        log.info("saved int8 calibration to %s", cfg.int8_scales)
 
     # stage 4: inverse letterbox
     log.info("===== stage 4: denormalize masks =====")
@@ -114,7 +123,7 @@ def run_pipeline(cfg: PipelineConfig, predictor=None) -> str:
     return dirs["json_results"]
 
 
-def _build_predictor(model_path: str):
+def _build_predictor(model_path: str, int8: bool = False):
     import jax.numpy as jnp
 
     from ..engine.checkpoint import load_weights
@@ -129,4 +138,4 @@ def _build_predictor(model_path: str):
     # the tiled-inference path can never trigger, and one fixed-shape jitted
     # batch forward is the whole device workload (predict.py exposes
     # --tile*/--num-devices for free-form inputs)
-    return Predictor(model, params, bn_state)
+    return Predictor(model, params, bn_state, quantize=int8)
