@@ -126,9 +126,20 @@ def bench_ours(hw, batch, n_steps, model_name="unet_s", bilinear=False,
 
     # int8 serving path (Predictor(quantize=True)): measured alongside the
     # float headline — an opt-in mode, so reported as extra fields, not as
-    # the comparable-to-baseline number.  UNet-family + foldable BN only.
+    # the comparable-to-baseline number.  UNet family folds above; yolo's
+    # CBS blocks fold here (quantize-only — its float eval keeps live BN).
     extras = {}
-    if pred_bn is None:  # fold_params succeeded above
+    q_folded = pred_params if pred_bn is None else None
+    if q_folded is None and "stem" in state.params:
+        try:
+            from unet_medical_image_contour_segmentation_tpu.models.fold_bn import (
+                fold_yolo_params,
+            )
+
+            q_folded = fold_yolo_params(state.params, state.bn_state)
+        except Exception:
+            q_folded = None
+    if q_folded is not None:
         try:
             from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
                 argmax_class_major,
@@ -140,7 +151,7 @@ def bench_ours(hw, batch, n_steps, model_name="unet_s", bilinear=False,
                 unpack_pred,
             )
 
-            qparams = quantize_unet(model, pred_params, image[:2])
+            qparams = quantize_unet(model, q_folded, image[:2])
 
             @jax.jit
             def predict_chain_q(x):
@@ -302,7 +313,17 @@ def bench_latency(hw=(512, 512), n_steps=128,
         if name in ref_comments:
             out[name]["ref_comment_ms"] = ref_comments[name]
 
-        if bn is None:  # fold succeeded: the int8 serving path applies
+        q_folded = folded if bn is None else None
+        if q_folded is None and "stem" in state.params:
+            try:  # yolo: fold the CBS blocks for the quantize walkers only
+                from unet_medical_image_contour_segmentation_tpu.models.fold_bn import (
+                    fold_yolo_params,
+                )
+
+                q_folded = fold_yolo_params(state.params, state.bn_state)
+            except Exception:
+                q_folded = None
+        if q_folded is not None:  # the int8 serving path applies
             try:
                 from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
                     argmax_class_major,
@@ -314,7 +335,7 @@ def bench_latency(hw=(512, 512), n_steps=128,
                     unpack_pred,
                 )
 
-                qparams = quantize_unet(model, folded, image)
+                qparams = quantize_unet(model, q_folded, image)
 
                 @jax.jit
                 def chain_q(x, _m=model, _qp=qparams):

@@ -252,6 +252,125 @@ class TestQuantizedUNetPP:
         assert (got == want).mean() > 0.99
 
 
+class TestQuantizedYolo:
+    """YOLOv8Seg int8: SiLU epilogue, residual requant-adds, stride-2 int8
+    downsamples, 1x1 int8 C2f/SPPF convs, mixed-scale neck concats."""
+
+    def _mk(self, n_classes=3, seed=7):
+        from unet_medical_image_contour_segmentation_tpu.models.yolov8_seg import (
+            yolov8_seg_s,
+        )
+
+        model = yolov8_seg_s(1, n_classes, compute_dtype=jnp.bfloat16)
+        params, state = model.init(jax.random.PRNGKey(seed))
+        return model, params, state
+
+    @pytest.mark.parametrize("scope", ["proto", "full"])
+    def test_close_to_float(self, scope):
+        from unet_medical_image_contour_segmentation_tpu.models.fold_bn import (
+            fold_yolo_params,
+        )
+
+        model, params, state = self._mk()
+        fp = fold_yolo_params(params, state)
+        x = np.random.RandomState(11).rand(2, 64, 64).astype(np.float32)
+        ref, _ = model.apply(params, state, x, train=False)
+        amax = Q.calibrate_amax(model, fp, x)
+        qp = Q.build_qparams_yolo(model, fp, amax, scope=scope)
+        ql, blk = Q.apply_wide_int8(model, qp, x)
+        assert blk[0] == "wide"
+        ref, ql = np.asarray(ref), np.asarray(ql)
+        cos = float((ref * ql).sum()
+                    / (np.linalg.norm(ref) * np.linalg.norm(ql) + 1e-12))
+        agree = float((ref.argmax(-1) == ql.argmax(-1)).mean())
+        assert cos > 0.999, cos
+        assert agree > 0.99, agree
+
+    def test_scales_transfer_across_sizes(self):
+        """Per-tensor scales: calibrate at 64^2, run at 96^2 (32-mult)."""
+        from unet_medical_image_contour_segmentation_tpu.models.fold_bn import (
+            fold_yolo_params,
+        )
+
+        model, params, state = self._mk()
+        fp = fold_yolo_params(params, state)
+        rng = np.random.RandomState(12)
+        qp = Q.quantize_unet(model, fp, rng.rand(2, 64, 64).astype(np.float32))
+        x2 = rng.rand(1, 96, 96).astype(np.float32)
+        ref, _ = model.apply(params, state, x2, train=False)
+        ql, _ = Q.apply_wide_int8(model, qp, x2)
+        agree = (np.asarray(ref).argmax(-1) == np.asarray(ql).argmax(-1)).mean()
+        assert agree > 0.99, agree
+
+    def test_class_major_matches_unpacked(self):
+        from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+            argmax_class_major,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.fold_bn import (
+            fold_yolo_params,
+        )
+
+        model, params, state = self._mk()
+        fp = fold_yolo_params(params, state)
+        x = np.random.RandomState(13).rand(1, 32, 32).astype(np.float32)
+        qp = Q.quantize_unet(model, fp, x)
+        dense, _ = Q.apply_wide_int8(model, qp, x)
+        cm, blk = Q.apply_wide_int8(model, qp, x, unpack_output=False,
+                                    class_major=True)
+        pred = W.unpack_pred(blk, argmax_class_major(cm, model.n_classes))
+        np.testing.assert_array_equal(
+            np.asarray(pred), np.asarray(dense).argmax(-1))
+
+    @pytest.mark.parametrize("n_classes", [1, 3])
+    def test_predictor_int8_yolo(self, n_classes):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+
+        model, params, state = self._mk(n_classes=n_classes)
+        x = np.random.RandomState(14).rand(2, 64, 64).astype(np.float32)
+        pf = Predictor(model, params, state)
+        pq = Predictor(model, params, state, quantize=True)
+        got = pq.predict_array(x)  # auto-calibrates (yolo CBS fold)
+        assert pq._qparams is not None and "stem" in pq._qparams
+        want = pf.predict_array(x)
+        assert (got == want).mean() > 0.99
+
+    def test_calibration_persists(self, tmp_path):
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+
+        model, params, state = self._mk()
+        x = np.random.RandomState(15).rand(2, 64, 64).astype(np.float32)
+        pq = Predictor(model, params, state, quantize=True)
+        got = pq.predict_array(x)
+        path = tmp_path / "yolo_scales.json"
+        pq.save_calibration(str(path))
+        pq2 = Predictor(model, params, state, quantize=True)
+        pq2.load_calibration(str(path))
+        np.testing.assert_array_equal(pq2.predict_array(x), got)
+
+    def test_stride2_and_1x1_int8_ops_exact(self):
+        """The two ops this walker added, on the exact integer grid."""
+        rng = np.random.RandomState(16)
+        # stride-2 wide conv vs strided f32 conv on int values
+        x = _rand_int8(rng, (1, 8, 4, 4 * 3))  # bw=4, cin=3
+        w = _rand_int8(rng, (3, 3, 3, 5))
+        got = W.conv_wide_int8(x, w, 4, stride=2)
+        want = W.conv_wide(x.astype(jnp.float32), w.astype(jnp.float32), 4,
+                           stride=2, h_fold=False)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(want).astype(np.int32))
+        # 1x1 group matmul vs conv1x1_wide on int values
+        x1 = _rand_int8(rng, (1, 4, 2, 4 * 6))
+        w1 = _rand_int8(rng, (1, 1, 6, 7))
+        got1 = W.conv1x1_wide_int8(x1, w1, 4)
+        want1 = W.conv1x1_wide(x1.astype(jnp.float32), w1.astype(jnp.float32), 4)
+        np.testing.assert_array_equal(np.asarray(got1),
+                                      np.asarray(want1).astype(np.int32))
+
+
 class TestCalibrationPersistence:
     def test_save_load_roundtrip_bit_exact(self, tmp_path):
         """JSON amax roundtrip rebuilds identical qparams: same predictions."""

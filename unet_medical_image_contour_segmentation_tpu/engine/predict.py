@@ -133,14 +133,23 @@ class Predictor:
 
         self.quantize = quantize
         self._qparams = None
+        # folded params the QUANTIZE walkers consume: the UNet-family /
+        # UNet++ fold (== folded_params) or the yolo CBS fold (quantize-only
+        # — the float yolo eval keeps live BN)
+        self._qfolded = self.folded_params
         if quantize:
             fp = self.folded_params
             unet_keys = {"inc", "down1", "up1", "outc"}
             pp_keys = {"x0_0", "x1_0"}
-            if fp is None or not (unet_keys <= set(fp) or pp_keys <= set(fp)):
+            yolo_keys = {"stem", "sppf", "n3"}
+            if fp is None and yolo_keys <= set(params):
+                from ..models.fold_bn import fold_yolo_params
+
+                self._qfolded = fold_yolo_params(params, bn_state)
+            elif fp is None or not (unet_keys <= set(fp) or pp_keys <= set(fp)):
                 raise ValueError(
-                    "quantize=True needs a UNet-family or UNet++ model with "
-                    "foldable BatchNorm (fold_bn=True); got "
+                    "quantize=True needs a UNet-family, UNet++ or YOLOv8Seg "
+                    "model with foldable BatchNorm (fold_bn=True); got "
                     f"folded={fp is not None}"
                 )
 
@@ -182,6 +191,7 @@ class Predictor:
     quantize = False  # instance attr set in __init__; class default for
     _qparams = None   # subclasses that skip super().__init__
     _amax = None      # calibration amaxes (kept for save_calibration)
+    _qfolded = None   # folded params for the quantize walkers
 
     def _wide_ok(self, h: int, w: int) -> bool:
         shape = (1, h, w, getattr(self.model, "n_channels", 1))
@@ -197,26 +207,33 @@ class Predictor:
         ``images``: [B, H, W(, C)] float array.  Called automatically on the
         first predicted batch when ``quantize=True``; call explicitly to pin
         scales to a chosen calibration set.  H/W crop down to multiples of
-        16 (per-tensor scales are crop-insensitive).
+        the model's wide-layout divisor (per-tensor scales are
+        crop-insensitive).
         """
         from ..models.quantize import calibrate_amax
 
         arr = np.asarray(images)
         if arr.dtype == np.uint8:
             arr = _norm_uint8_host(arr)
-        h16, w16 = arr.shape[1] // 16 * 16, arr.shape[2] // 16 * 16
-        if h16 < 16 or w16 < 16:
+        div = getattr(self.model, "hw_divisor", 16)
+        hc, wc = arr.shape[1] // div * div, arr.shape[2] // div * div
+        if hc < div or wc < div:
             raise ValueError(f"calibration images too small: {arr.shape}")
-        self._set_amax(calibrate_amax(self.model, self.folded_params,
-                                      jnp.asarray(arr[:, :h16, :w16])))
+        folded = self._qfolded if self._qfolded is not None else self.folded_params
+        self._set_amax(calibrate_amax(self.model, folded,
+                                      jnp.asarray(arr[:, :hc, :wc])))
 
     def _set_amax(self, amax: Dict[str, float]) -> None:
         """Build (and shard) the int8 qparams from calibration amaxes."""
-        from ..models.quantize import build_qparams, build_qparams_pp
+        from ..models.quantize import (
+            build_qparams, build_qparams_pp, build_qparams_yolo,
+        )
 
-        builder = (build_qparams_pp if "x0_0" in self.folded_params
+        folded = self._qfolded if self._qfolded is not None else self.folded_params
+        builder = (build_qparams_pp if "x0_0" in folded
+                   else build_qparams_yolo if "stem" in folded
                    else build_qparams)
-        qp = builder(self.model, self.folded_params, amax)
+        qp = builder(self.model, folded, amax)
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -254,7 +271,9 @@ class Predictor:
         if not self.quantize or self._qparams is not None:
             return
         arr = np.asarray(images)
-        if arr.shape[1] // 16 * 16 >= 32 and arr.shape[2] // 16 * 16 >= 32:
+        div = getattr(self.model, "hw_divisor", 16)
+        m = max(32, div)
+        if arr.shape[1] // div * div >= m and arr.shape[2] // div * div >= m:
             self.calibrate(arr[:4])
 
     def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int],

@@ -67,3 +67,30 @@ def _fold_tree(params, state):
 def fold_unet_params(params, state):
     """UNet-family params -> folded pytree (same topology keys)."""
     return fold_params(params, state)
+
+
+def fold_yolo_params(params, state):
+    """YOLOv8Seg params -> folded pytree: every CBS (conv+BN+SiLU) block
+    ``{"conv": {"w"}, "bn": {...}}`` becomes ``{"w", "b"}``; ConvTranspose
+    ups and the head pass through.  Used by the int8 serving path
+    (models/quantize.py) — the float eval keeps live BN (XLA folds it).
+    """
+    n, out = _fold_cbs_tree(params, state)
+    if n == 0:
+        raise KeyError("no CBS (conv+bn) subtrees to fold")
+    return out
+
+
+def _fold_cbs_tree(params, state):
+    if not isinstance(params, dict):
+        return 0, params
+    if "conv" in params and "bn" in params and isinstance(params["conv"], dict):
+        return 1, _fold(params["conv"]["w"], params["bn"], state["bn"])
+    n_total, out = 0, {}
+    for k, v in params.items():
+        if isinstance(v, dict) and isinstance(state, dict) and k in state:
+            n, out[k] = _fold_cbs_tree(v, state[k])
+            n_total += n
+        else:
+            out[k] = v
+    return n_total, out

@@ -46,6 +46,7 @@ __all__ = [
     "conv_wide",
     "conv_wide_int8",
     "conv_wide_split_int8",
+    "conv1x1_wide_int8",
     "conv1x1_wide",
     "conv1x1_wide_class_major",
     "conv_transpose2_wide",
@@ -249,7 +250,8 @@ def conv_wide(
     return y
 
 
-def conv_wide_int8(x: jnp.ndarray, w: jnp.ndarray, bw: int) -> jnp.ndarray:
+def conv_wide_int8(x: jnp.ndarray, w: jnp.ndarray, bw: int,
+                   stride: int = 1) -> jnp.ndarray:
     """k x k SAME conv on an int8 wide tensor -> int32 accumulators.
 
     x: (B, H, W/bw, bw*Cin) int8; w: (k, k, Cin, Cout) int8 (LOGICAL HWIO —
@@ -258,10 +260,14 @@ def conv_wide_int8(x: jnp.ndarray, w: jnp.ndarray, bw: int) -> jnp.ndarray:
     measured 1.36x/1.09x/1.12x vs bf16 at unet_s's level-0/2/4 shapes with
     the full requant epilogue included (benchmarks/probe_int8.py).
 
+    ``stride`` narrows the block in place as conv_wide does (bw -> bw/stride
+    for bw > 1; plain strided conv at bw == 1) — the YOLO backbone's
+    stride-2 downsample CBS convs.
+
     The scatter einsum runs in f32 (entries are exact copies of int8 values,
-    so the cast back to int8 is lossless).  Eval-only: stride 1, no h_fold
-    (the folded forward is slower — CLAUDE.md), no bias; the dequant /
-    requant epilogues live in models/quantize.py.
+    so the cast back to int8 is lossless).  Eval-only: no h_fold (the folded
+    forward is slower — CLAUDE.md), no bias; the dequant / requant epilogues
+    live in models/quantize.py.
     """
     assert x.dtype == jnp.int8 and w.dtype == jnp.int8, (x.dtype, w.dtype)
     k = w.shape[0]
@@ -269,14 +275,33 @@ def conv_wide_int8(x: jnp.ndarray, w: jnp.ndarray, bw: int) -> jnp.ndarray:
         dn = lax.conv_dimension_numbers(x.shape, w.shape,
                                         ("NHWC", "HWIO", "NHWC"))
         return lax.conv_general_dilated(
-            x, w, (1, 1), [(k // 2, k // 2)] * 2,
+            x, w, (stride, stride), [(k // 2, k // 2)] * 2,
             dimension_numbers=dn, preferred_element_type=jnp.int32)
-    ws, cen, R = _scatter_kernel_wide(w.astype(jnp.float32), bw)
+    assert bw % stride == 0, f"stride {stride} must divide block width {bw}"
+    ws, cen, R = _scatter_kernel_wide(w.astype(jnp.float32), bw, stride)
     ws = ws.astype(jnp.int8)
     dn = lax.conv_dimension_numbers(x.shape, ws.shape, ("NHWC", "HWIO", "NHWC"))
     return lax.conv_general_dilated(
-        x, ws, (1, 1), [(k // 2, k // 2), (cen, R - 1 - cen)],
+        x, ws, (stride, 1), [(k // 2, k // 2), (cen, R - 1 - cen)],
         dimension_numbers=dn, preferred_element_type=jnp.int32)
+
+
+def conv1x1_wide_int8(x: jnp.ndarray, w: jnp.ndarray, bw: int) -> jnp.ndarray:
+    """1x1 conv on an int8 wide tensor -> int32 (per-dx-group matmul).
+
+    The int8 twin of conv1x1_wide: lanes are (dx, c) so the group reshape
+    exposes logical channels to one (cin, cout) int8 matmul; per-part input
+    scales for mixed-scale concat inputs fold into the kernel's cin slices
+    upstream (models/quantize.py), exactly as for the 3x3 split convs.
+    """
+    assert x.dtype == jnp.int8 and w.dtype == jnp.int8, (x.dtype, w.dtype)
+    B, Hb, Wb, L = x.shape
+    cin, cout = w.shape[2], w.shape[3]
+    g = L // cin
+    xg = x.reshape(B, Hb, Wb, g, cin)
+    y = jnp.einsum("bhwgc,cd->bhwgd", xg, w[0, 0],
+                   preferred_element_type=jnp.int32)
+    return y.reshape(B, Hb, Wb, g * cout)
 
 
 def conv_wide_split_int8(xs, channels, w, bw: int) -> jnp.ndarray:
