@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Where does the YOLOv8Seg PREDICT step spend its device time?
+
+r4's int8 probe found ~56% of the float predict step is lane-shuffle
+copies/reshapes (which is why full-int8 placement is net-negative there).
+This probe captures a jax.profiler trace of the fused eval forward and
+prints (a) the category split and (b) the top individual ops, so the
+copies can be attributed to model-level constructs (C2f concat, FPN
+nearest-up repeat, proto-head reblocks, SPPF, ...).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/probe_yolo_layout.py
+"""
+import collections
+import gzip
+import json
+import re
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+STEPS = 8
+
+
+def main(model_name="yolov8_seg_s", hw=512, batch=8):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from unet_medical_image_contour_segmentation_tpu.engine.train import (
+        init_train_state,
+    )
+    from unet_medical_image_contour_segmentation_tpu.losses.s2d_fused import (
+        argmax_class_major,
+    )
+    from unet_medical_image_contour_segmentation_tpu.models.unet import get_model
+    from unet_medical_image_contour_segmentation_tpu.ops.wide import unpack_pred
+    from unet_medical_image_contour_segmentation_tpu.utils.profiling import trace
+
+    model = get_model(model_name, n_channels=1, n_classes=3,
+                      compute_dtype=jnp.bfloat16)
+    state = init_train_state(model, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.random((batch, hw, hw), np.float32))
+
+    @jax.jit
+    def predict_chain(x):
+        def body(c, _):
+            cm, _, blk = model.apply_fused(state.params, state.bn_state,
+                                           c, train=False)
+            pred = unpack_pred(blk, argmax_class_major(cm, 3))
+            return c + 1e-12 * pred.astype(c.dtype), ()
+        y, _ = lax.scan(body, x, None, length=STEPS)
+        return jnp.sum(y[0, 0])
+
+    _ = float(predict_chain(image))  # compile + readback warmup
+
+    tmp = tempfile.mkdtemp(prefix="jax-trace-")
+    with trace(tmp):
+        _ = float(predict_chain(image))
+
+    (gz,) = Path(tmp).rglob("*.trace.json.gz")
+    events = json.loads(gzip.open(gz).read()).get("traceEvents", [])
+    dev_pids = {e["pid"] for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e["args"].get("name", "")}
+    cat = collections.Counter()
+    per_op = collections.Counter()
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e["name"]
+        if name.startswith("jit_") or re.fullmatch(r"\d+", name):
+            continue
+        per_op[name] += e.get("dur", 0)
+        key = re.sub(r"[.\d]+$", "", name)
+        key = re.sub(r"^(convert_|loop_|input_|output_)", "", key)
+        cat[key] += e.get("dur", 0)
+    total = sum(cat.values())
+    print(f"{model_name} {hw}²b{batch} predict: {total / STEPS / 1e3:.2f} "
+          f"ms/step device time; by category:")
+    for k, us in cat.most_common(12):
+        print(f"  {us / STEPS / 1e3:7.3f} ms  {100 * us / total:5.1f}%  {k}")
+    print("\ntop 25 individual ops:")
+    for k, us in per_op.most_common(25):
+        print(f"  {us / STEPS / 1e3:7.3f} ms  {100 * us / total:5.1f}%  {k}")
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(a[0] if a else "yolov8_seg_s",
+         int(a[1]) if len(a) > 1 else 512,
+         int(a[2]) if len(a) > 2 else 8)

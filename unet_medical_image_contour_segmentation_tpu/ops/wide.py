@@ -367,6 +367,16 @@ def conv_transpose2_wide(
 
     Row doubling rides the (spatial) H axis via an interleaving reshape;
     width doubling is a pure lane expansion.  w: (2, 2, Cin, Cout) HWIO.
+
+    Formulated as one dot PER OUTPUT-ROW PARITY r: the single-einsum form
+    ``bhwxc,rsco->bhrwxso`` needs r moved between h and w — a physical
+    transpose copy of the full 2x-res tensor (the r3/r4 profiles showed it
+    as the largest copy in every ConvT-bearing predict step).  Splitting r
+    gives each dot the NATURAL output order (lhs free b,h,w,x then rhs free
+    s,o) == the wide lane order (2*dx+s, co); the bias add fuses into the
+    dot epilogue, and the row interleave ``stack(axis=2)`` + reshape only
+    merges leading (untiled) dims — a bitcast, not a relayout.  Bit-exact
+    vs the single-einsum form (the c-contraction is unsplit).
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -374,12 +384,14 @@ def conv_transpose2_wide(
     B, H, Wb, L = x.shape
     cin, cout = w.shape[2], w.shape[3]
     xg = x.reshape(B, H, Wb, bw, cin)
-    # y[h, r, wb, dx, s, co]: output row 2h+r, intra-pixel 2dx+s
-    y = jnp.einsum("bhwxc,rsco->bhrwxso", xg, w)
-    y = y.reshape(B, 2 * H, Wb, 2 * bw * cout)
-    if bias is not None:
-        y = y + jnp.tile(bias, 2 * bw).astype(y.dtype)
-    return y
+    rows = []
+    for r in range(2):
+        # yr[b, h, wb, dx, s, co]: output row 2h+r, intra-pixel 2dx+s
+        yr = jnp.einsum("bhwxc,sco->bhwxso", xg, w[r])
+        if bias is not None:
+            yr = yr + bias.astype(yr.dtype)
+        rows.append(yr.reshape(B, H, Wb, 2 * bw * cout))
+    return jnp.stack(rows, axis=2).reshape(B, 2 * H, Wb, 2 * bw * cout)
 
 
 def upsample2_ac_wide(x: jnp.ndarray, bw: int) -> jnp.ndarray:
