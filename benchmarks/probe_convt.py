@@ -66,8 +66,17 @@ def build_chains(model_name, batch, hw, mode):
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.random((batch, hw, hw), np.float32))
 
+    # The monkeypatch only reaches call sites that use ATTRIBUTE access
+    # (W.conv_transpose2_wide); a `from ops.wide import conv_transpose2_wide`
+    # caller would bind the original and make this probe measure new-vs-new.
+    import unet_medical_image_contour_segmentation_tpu.models.wide_exec as _we
+    assert not hasattr(_we, "conv_transpose2_wide"), (
+        "wide_exec imported conv_transpose2_wide by name; the monkeypatch "
+        "below would not reach it — switch the call site back to W.<attr>"
+    )
     chains = {}
-    for tag, impl in (("old", convt_old), ("new", convt_new)):
+    try:
+      for tag, impl in (("old", convt_old), ("new", convt_new)):
         W.conv_transpose2_wide = impl
         if mode == "predict":
             @jax.jit
@@ -97,7 +106,8 @@ def build_chains(model_name, batch, hw, mode):
 
             _ = float(chain(image, mask))
             chains[tag] = (chain, (image, mask))
-    W.conv_transpose2_wide = convt_new
+    finally:
+        W.conv_transpose2_wide = convt_new
     return chains
 
 

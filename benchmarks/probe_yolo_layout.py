@@ -62,7 +62,8 @@ def main(model_name="yolov8_seg_s", hw=512, batch=8):
     with trace(tmp):
         _ = float(predict_chain(image))
 
-    (gz,) = Path(tmp).rglob("*.trace.json.gz")
+    # the profiler may emit one trace per host/process; take the largest
+    gz = max(Path(tmp).rglob("*.trace.json.gz"), key=lambda p: p.stat().st_size)
     events = json.loads(gzip.open(gz).read()).get("traceEvents", [])
     dev_pids = {e["pid"] for e in events
                 if e.get("ph") == "M" and e.get("name") == "process_name"

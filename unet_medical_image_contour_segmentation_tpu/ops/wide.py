@@ -374,9 +374,11 @@ def conv_transpose2_wide(
     as the largest copy in every ConvT-bearing predict step).  Splitting r
     gives each dot the NATURAL output order (lhs free b,h,w,x then rhs free
     s,o) == the wide lane order (2*dx+s, co); the bias add fuses into the
-    dot epilogue, and the row interleave ``stack(axis=2)`` + reshape only
-    merges leading (untiled) dims — a bitcast, not a relayout.  Bit-exact
-    vs the single-einsum form (the c-contraction is unsplit).
+    dot epilogue.  The row interleave is ``stack(axis=2)`` (two contiguous
+    writes — cheap, but it does materialize a buffer) followed by a reshape
+    that only merges leading (untiled) dims, so the reshape itself is a
+    bitcast, not a relayout.  Bit-exact vs the single-einsum form (the
+    c-contraction is unsplit).
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
