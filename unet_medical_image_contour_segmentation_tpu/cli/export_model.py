@@ -33,6 +33,24 @@ def main():
                         choices=["stablehlo", "onnx", "both"],
                         help="Artifact format (default: inferred from -o "
                              "extension, else stablehlo)")
+    parser.add_argument("--int8", action="store_true", default=False,
+                        help="Export the int8-quantized program instead "
+                             "(weights + requant scales baked in; loads "
+                             "with the same StableHLO predictor). Static "
+                             "H/W (--int8-hw), dynamic batch. Needs "
+                             "--int8-scales or --calib.")
+    parser.add_argument("--int8-scales", default=None, metavar="JSON",
+                        help="Activation-scale calibration JSON (saved by "
+                             "predict.py --int8-scales / "
+                             "Predictor.save_calibration)")
+    parser.add_argument("--calib", default=None, metavar="PATH",
+                        help="Image file/directory to calibrate the int8 "
+                             "activation scales from (alternative to "
+                             "--int8-scales)")
+    parser.add_argument("--int8-hw", type=int, nargs=2, default=(512, 512),
+                        metavar=("H", "W"),
+                        help="Static spatial shape baked into the int8 "
+                             "program (one artifact per serving size)")
     args = parser.parse_args()
     if args.format is None:
         args.format = "onnx" if (args.output or "").endswith(".onnx") else "stablehlo"
@@ -62,6 +80,89 @@ def main():
 
     base = os.path.splitext(args.output or args.model)[0]
     ok = True
+
+    if args.int8:
+        import json
+
+        import numpy as np
+
+        from unet_medical_image_contour_segmentation_tpu.engine.export import (
+            export_stablehlo_int8,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.quantize import (
+            apply_wide_int8, build_qparams, build_qparams_pp,
+            build_qparams_yolo, calibrate_amax, fold_for_quantize,
+        )
+
+        if args.format != "stablehlo":
+            logging.error("--int8 exports StableHLO only (no int8 ONNX path)")
+            return 1
+        folded = fold_for_quantize(model, params, bn_state)
+        if args.int8_scales and os.path.exists(args.int8_scales):
+            with open(args.int8_scales) as f:
+                amax = json.load(f)
+            logging.info("Loaded int8 calibration from %s", args.int8_scales)
+        elif args.calib:
+            from PIL import Image
+
+            from unet_medical_image_contour_segmentation_tpu.data.dataset import (
+                BasicDataset,
+            )
+            from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+                collect_image_files,
+            )
+
+            files = (collect_image_files(args.calib)
+                     if os.path.isdir(args.calib) else [args.calib])[:4]
+            if not files:
+                logging.error("No calibration images under %s", args.calib)
+                return 1
+            div = getattr(model, "hw_divisor", 16)
+            imgs = []
+            for fp in files:
+                a = BasicDataset.preprocess(
+                    None, Image.open(fp).convert("L"), scale=1, is_mask=False)
+                h, w = a.shape[0] // div * div, a.shape[1] // div * div
+                imgs.append(a[:h, :w])
+            hw_min = (min(a.shape[0] for a in imgs),
+                      min(a.shape[1] for a in imgs))
+            batch = np.stack([a[:hw_min[0], :hw_min[1]] for a in imgs])
+            amax = calibrate_amax(model, folded, jax.numpy.asarray(batch))
+            if args.int8_scales:  # save for reuse, as predict.py does
+                with open(args.int8_scales, "w") as f:
+                    json.dump(amax, f, indent=1, sort_keys=True)
+        else:
+            logging.error("--int8 needs --int8-scales JSON or --calib images")
+            return 1
+        builder = (build_qparams_pp if "x0_0" in folded
+                   else build_qparams_yolo if "stem" in folded
+                   else build_qparams)
+        qparams = builder(model, folded, amax)
+        data = export_stablehlo_int8(model, qparams,
+                                     example_hw=tuple(args.int8_hw))
+        out = args.output or base + ".int8.stablehlo"
+        with open(out, "wb") as f:
+            f.write(data)
+        logging.info("Exported %d bytes of int8 StableHLO (static %dx%d, "
+                     "dynamic batch) to %s", len(data), *args.int8_hw, out)
+        # sanity: the deserialized program must match the live int8 forward
+        from unet_medical_image_contour_segmentation_tpu.engine.export import (
+            load_exported,
+        )
+
+        x = np.random.default_rng(0).random(
+            (1, *args.int8_hw, model.n_channels), np.float32)
+        got = np.asarray(load_exported(data).call(jax.numpy.asarray(x)))
+        want, _ = apply_wide_int8(model, qparams, jax.numpy.asarray(x))
+        agree = float((got.argmax(-1) == np.asarray(want).argmax(-1)).mean())
+        if agree == 1.0:
+            logging.info("int8 StableHLO sanity forward passed "
+                         "(argmax identical to live int8).")
+        else:
+            logging.error("int8 sanity forward FAILED: argmax agreement %.5f",
+                          agree)
+            ok = False
+        return 0 if ok else 1
 
     if args.format in ("stablehlo", "both"):
         data = export_stablehlo(

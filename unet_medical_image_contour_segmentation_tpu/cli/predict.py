@@ -108,9 +108,11 @@ def main():
                     "exported module has a fixed single-device program; "
                     "export per-device or use live weights for DP serving")
             if args.int8:
-                logging.warning("--int8 is ignored for .stablehlo models "
-                                "(the exported program is already compiled); "
-                                "use live weights for int8 serving")
+                logging.warning(
+                    "--int8 is ignored for .stablehlo models (the exported "
+                    "program's precision is baked in at export time). For a "
+                    "quantized artifact, export with `umics-export --int8` — "
+                    "it loads here with no flags and serves int8 directly.")
             predictor = StableHLOPredictor.from_file(
                 args.model, batch_size=args.batch_size)
             predictor.tile, predictor.tile_halo = args.tile, args.tile_halo

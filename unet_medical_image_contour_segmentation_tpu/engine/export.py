@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 log = logging.getLogger(__name__)
 
-__all__ = ["export_stablehlo", "load_exported", "sanity_check"]
+__all__ = ["export_stablehlo", "export_stablehlo_int8", "load_exported",
+           "sanity_check"]
 
 
 def export_stablehlo(
@@ -59,6 +60,45 @@ def export_stablehlo(
             (1, *example_hw, model.n_channels), jnp.float32
         )
 
+    exported = jax.export.export(jax.jit(forward), platforms=list(platforms))(arg)
+    return bytes(exported.serialize())
+
+
+def export_stablehlo_int8(
+    model,
+    qparams,
+    *,
+    example_hw: Tuple[int, int] = (512, 512),
+    dynamic_batch: bool = True,
+    platforms=("tpu", "cpu"),
+) -> bytes:
+    """Serialize the int8 wide forward (models/quantize.py) as StableHLO.
+
+    The quantized weights, folded scales, and requant epilogues all bake
+    into the program, so the artifact needs no calibration data at serve
+    time and loads with the same :class:`engine.predict.StableHLOPredictor`
+    as a float export.  H/W are STATIC (the wide-layout kernels bake the
+    spatial extent into their scatter constants; export one artifact per
+    serving resolution — tiled serving needs the tile window size
+    ``tile + 2*halo``); the batch axis stays dynamic.
+
+    ``qparams`` comes from ``models.quantize.quantize_unet`` (or
+    ``Predictor._set_amax`` + ``._qparams``).  Reference intent:
+    ``/root/reference/export_model.py:30-46`` (deployable artifact); the
+    int8 path itself has no reference counterpart.
+    """
+    from ..models.quantize import apply_wide_int8
+
+    def forward(x):
+        logits, _ = apply_wide_int8(model, qparams, x)
+        return logits
+
+    if dynamic_batch:
+        scope = jax.export.SymbolicScope()
+        b = jax.export.symbolic_shape("b", scope=scope)[0]
+    else:
+        b = 1
+    arg = jax.ShapeDtypeStruct((b, *example_hw, model.n_channels), jnp.float32)
     exported = jax.export.export(jax.jit(forward), platforms=list(platforms))(arg)
     return bytes(exported.serialize())
 

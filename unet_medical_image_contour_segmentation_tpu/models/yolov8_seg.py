@@ -92,6 +92,15 @@ def _c2f(params, state, x, n, *, train, cd, axis_name):
     return y, new_state
 
 
+# pre-reblock ConvT inputs whose optimal output block is HALF the native
+# 2*bw (see up_conv in _apply_wide).  TRAIN-ONLY: with the r5 dilated-conv
+# ConvT the eval forward measured FASTER post-reblocking (3.588 vs 3.842 ms
+# predict step) while the train step prefers the pre-reblock (17.42 vs
+# 19.04 ms) — the backward's wgrad reads the smaller pre-reblocked operand.
+# Probes A/B by flipping this flag (benchmarks/probe_convt2.py).
+PRE_REBLOCK = [True]
+
+
 # -- wide-layout variants of the primitives (ops/wide.py; bw=1 == dense) -----
 
 def _cbs_w(params, state, x, bw, *, stride=1, train, cd, axis_name):
@@ -366,12 +375,19 @@ class YOLOv8Seg:
         p3 = c2f("n3", jnp.concatenate([up(p4), feats[1]], axis=-1), 1, d[1])  # /8
 
         # proto head back to full resolution; each ConvT doubles the block,
-        # reblocked (free reshape) to the level's ~128/C optimum
+        # reblocked to the level's ~128/C optimum.  In TRAIN mode, when that
+        # means HALVING (p_up3: bw 4 -> 8 -> opt 4), reblock the INPUT
+        # instead: the relayout then moves half the bytes and the backward
+        # reads the smaller operand (measured 17.42 vs 19.04 ms train step;
+        # the eval forward prefers the post-reblock — see PRE_REBLOCK).
         def up_conv(name, t, bw, c_out):
+            bw_opt = W.wide_block(c_out)
+            if PRE_REBLOCK[0] and train and bw > 1 and bw_opt == bw:
+                t = W.reblock(t, bw, bw // 2)
+                bw = bw // 2
             t = W.conv_transpose2_wide(t, params[name]["w"], bw,
                                        params[name].get("b"), compute_dtype=cd)
             bw2 = 2 * bw
-            bw_opt = W.wide_block(c_out)
             if bw2 != bw_opt:
                 t = W.reblock(t, bw2, bw_opt)
                 bw2 = bw_opt

@@ -50,6 +50,8 @@ __all__ = [
     "conv1x1_wide",
     "conv1x1_wide_class_major",
     "conv_transpose2_wide",
+    "conv_transpose2_wide_dilated",
+    "conv_transpose2_wide_einsum",
     "max_pool2_wide",
     "upsample2_ac_wide",
     "batch_norm_wide",
@@ -356,29 +358,30 @@ def max_pool2_wide(x: jnp.ndarray, bw: int) -> jnp.ndarray:
     return jnp.max(yg, axis=4).reshape(B, H2, Wb, (bw // 2) * c)
 
 
-def conv_transpose2_wide(
+def conv_transpose2_wide_einsum(
     x: jnp.ndarray,
     w: jnp.ndarray,
     bw: int,
     bias: Optional[jnp.ndarray] = None,
     compute_dtype=None,
 ) -> jnp.ndarray:
-    """ConvTranspose2d(k=2, s=2) on a wide-bw tensor -> wide-(2bw) at 2x res.
+    """ConvTranspose2d(k=2, s=2), per-row-parity einsum form (r4 default).
+
+    SUPERSEDED as the default by :func:`conv_transpose2_wide_dilated` (r5):
+    the r5 HLO audit showed this form's assembly — two dot-output layout
+    copies, a pad/maximum stack, and the H-merge reshape — costs ~1.15 ms
+    of the 4.68 ms yolov8_seg predict step, and the dilated-conv form
+    measured 1.37x end-to-end there (1.07-1.10x on the UNet family).  Kept
+    for A/B probes (benchmarks/probe_convt2.py) and as the reference
+    formulation.
 
     Row doubling rides the (spatial) H axis via an interleaving reshape;
     width doubling is a pure lane expansion.  w: (2, 2, Cin, Cout) HWIO.
-
-    Formulated as one dot PER OUTPUT-ROW PARITY r: the single-einsum form
+    One dot PER OUTPUT-ROW PARITY r: the single-einsum form
     ``bhwxc,rsco->bhrwxso`` needs r moved between h and w — a physical
-    transpose copy of the full 2x-res tensor (the r3/r4 profiles showed it
-    as the largest copy in every ConvT-bearing predict step).  Splitting r
-    gives each dot the NATURAL output order (lhs free b,h,w,x then rhs free
-    s,o) == the wide lane order (2*dx+s, co); the bias add fuses into the
-    dot epilogue.  The row interleave is ``stack(axis=2)`` (two contiguous
-    writes — cheap, but it does materialize a buffer) followed by a reshape
-    that only merges leading (untiled) dims, so the reshape itself is a
-    bitcast, not a relayout.  Bit-exact vs the single-einsum form (the
-    c-contraction is unsplit).
+    transpose copy of the full 2x-res tensor.  Splitting r gives each dot
+    the NATURAL output order == the wide lane order (2*dx+s, co); the bias
+    add fuses into the dot epilogue.
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -394,6 +397,71 @@ def conv_transpose2_wide(
             yr = yr + bias.astype(yr.dtype)
         rows.append(yr.reshape(B, H, Wb, 2 * bw * cout))
     return jnp.stack(rows, axis=2).reshape(B, 2 * H, Wb, 2 * bw * cout)
+
+
+@functools.lru_cache(maxsize=None)
+def _convt_scatter_map(bw: int) -> np.ndarray:
+    """m[dx, s, p] = 1 iff intra-pixel dx at kernel W-tap s writes output
+    intra-pixel p = 2*dx + s (all within ONE block: R = 1)."""
+    m = np.zeros((bw, 2, 2 * bw), np.float32)
+    for dx in range(bw):
+        for s in range(2):
+            m[dx, s, 2 * dx + s] = 1.0
+    return m
+
+
+def conv_transpose2_wide_dilated(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bw: int,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """ConvTranspose2d(k=2, s=2) on a wide-bw tensor, as ONE dilated conv.
+
+    Same contract as :func:`conv_transpose2_wide` — (B, H, Wb, bw*Cin) ->
+    (B, 2H, Wb, 2bw*Cout), i.e. wide-(2bw) at 2x resolution — but H rides
+    the conv engine (``lhs_dilation=(2, 1)`` with the H-flipped kernel, the
+    exact gradient-of-strided-conv form ops/nn.py:conv_transpose2d uses
+    dense) and W rides the lane dim via a scatter kernel: output intra-pixel
+    2*dx+s reads input intra-pixel dx at kernel tap s — all within one
+    block, so the W extent is a single block (R = 1) and the conv emits the
+    doubled lanes IN PLACE.
+
+    Why: the per-row-parity einsum form materializes its two dot outputs
+    (layout copies), a pad/maximum stack, and an H-merge reshape — measured
+    ~1.15 ms of the 4.68 ms yolov8_seg predict step (r5 HLO audit).  Here
+    the whole ConvT is one conv op with a conv-native output layout.  The
+    lane scatter inflates MACs by 2*bw over the logical ConvT, but these
+    ConvTs are tiny (cin = cout = C/4 at the proto head) and the op
+    replaces memory passes, not FLOPs.  Measured on v5e (r5,
+    benchmarks/probe_convt2.py, interleaved 128-step chains): yolo predict
+    1.37x, unet_s predict 1.09x / train 1.07x, unet_pp_s predict 1.10x
+    end-to-end — THE DEFAULT ``conv_transpose2_wide`` since r5.  Forward
+    bit-identical to the dense NHWC ConvT (it is the same lhs-dilated conv
+    formulation ops/nn.py:conv_transpose2d lowers to).
+    """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    cin, cout = w.shape[2], w.shape[3]
+    m = jnp.asarray(_convt_scatter_map(bw), w.dtype)
+    # wk[v, dx, c, p, o] = w[1-v, s, c, o] where p == 2*dx+s
+    wk = jnp.einsum("xsp,vsco->vxcpo", m, w[::-1])
+    wk = wk.reshape(2, 1, bw * cin, 2 * bw * cout)
+    dn = lax.conv_dimension_numbers(x.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, wk, (1, 1), [(1, 1), (0, 0)],
+        lhs_dilation=(2, 1), dimension_numbers=dn,
+    )
+    if bias is not None:
+        y = y + jnp.tile(bias, 2 * bw).astype(y.dtype)
+    return y
+
+
+# r5 default: the dilated-conv formulation (see its docstring for the
+# measured wins); probes monkeypatch this module attribute to A/B.
+conv_transpose2_wide = conv_transpose2_wide_dilated
 
 
 def upsample2_ac_wide(x: jnp.ndarray, bw: int) -> jnp.ndarray:
