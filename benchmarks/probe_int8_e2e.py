@@ -50,6 +50,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hw", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batches", default=None,
+                    help="comma list, e.g. 1,2,4,8: sweep batch sizes in ONE "
+                         "process (each pays no fresh readback warmup); "
+                         "overrides --batch")
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--model", default="unet_s")
     args = ap.parse_args()
@@ -58,14 +62,24 @@ def main():
     _ = float(jnp.sum(jnp.ones((8, 128))))  # tunnel warmup fetch
     print("warmed", flush=True)
 
-    model = get_model(args.model, n_channels=1, n_classes=3,
+    batches = ([int(b) for b in args.batches.split(",")] if args.batches
+               else [args.batch])
+    for b in batches:
+        run_one(args.model, args.hw, b, args.steps)
+
+
+def run_one(model_name, hw, batch, steps):
+    model = get_model(model_name, n_channels=1, n_classes=3,
                       compute_dtype=jnp.bfloat16)
     params, state = model.init(jax.random.PRNGKey(0))
     folded = fold_params(params, state)
     rng = np.random.RandomState(0)
-    image = jnp.asarray(rng.rand(args.batch, args.hw, args.hw), jnp.float32)
-    qparams = Q.quantize_unet(model, folded, image[:2])
-    n_steps = args.steps
+    image = jnp.asarray(rng.rand(batch, hw, hw), jnp.float32)
+    calib = image[:2] if batch >= 2 else jnp.asarray(
+        rng.rand(2, hw, hw), jnp.float32)
+    qparams = Q.quantize_unet(model, folded, calib)
+    n_steps = steps
+    print(f"--- {model_name} {hw}² b={batch} ---", flush=True)
 
     @jax.jit
     def chain_f(x):
@@ -91,7 +105,7 @@ def main():
     t_f2 = time_chain(chain_f, image, n_steps)
     t_q2 = time_chain(chain_q, image, n_steps)
     t_f, t_q = min(t_f1, t_f2), min(t_q1, t_q2)
-    b = args.batch
+    b = batch
     print(f"bf16 fused : {t_f:.3f} ms/step  ({b / t_f * 1e3:.0f} slices/s)  "
           f"[{t_f1:.3f}, {t_f2:.3f}]")
     print(f"int8       : {t_q:.3f} ms/step  ({b / t_q * 1e3:.0f} slices/s)  "

@@ -116,9 +116,14 @@ def render_latency_table(lat):
         speedup = ("—" if tcpu is None
                    else f"{tcpu / v['tpu_ms']:.0f}x")
         sp = v.get("spread_pct")
+        int8_ms = v.get("tpu_int8_ms", "—")
+        if v.get("int8_gated"):
+            # Predictor serves float below INT8_MIN_BATCH (measured b=1
+            # regression) — --int8 at b=1 delivers the float program
+            int8_ms = f"{int8_ms} (gated→float)"
         lines.append(
             f"| {name} | {v['tpu_ms']} "
-            f"| {v.get('tpu_int8_ms', '—')} "
+            f"| {int8_ms} "
             f"| {'—' if sp is None else f'±{sp / 2:.0f}%'} "
             f"| {v.get('ref_comment_ms', '—')} "
             f"| {tcpu if tcpu is not None else '—'} | {speedup} |"
@@ -128,11 +133,21 @@ def render_latency_table(lat):
 
 
 def render_table(rows):
+    import datetime
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d")
     lines = [
         "# Benchmark sweep (bench.py, one v5e chip)",
         "",
         "Generated by `python benchmarks/sweep.py`.  Timing methodology in",
         "`bench.py` (chained-scan steps, device-fetch barriers).",
+        "",
+        f"Last sweep run: {stamp} (UTC).  Partial runs (`--configs`) update",
+        "only their rows, so rows can mix sessions; the tunneled TPU drifts",
+        "5-15% between sessions (CLAUDE.md).  The CANONICAL headline is the",
+        "driver-recorded `BENCH_r{N}.json` (same bench.py chain, its own",
+        "session) — in-table deltas are comparable, cross-table absolute",
+        "gaps within the drift band are not.",
         "",
         "| config | combined slices/s | predict / train slices/s |"
         " int8 predict | spread | vs torch-CPU | GFLOP/slice | train MFU |",

@@ -371,6 +371,44 @@ class TestTiledPredictor:
         dense = Predictor(model, params, bn_state, tile_threshold=0)
         np.testing.assert_array_equal(out, dense.predict_array(img))
 
+    def test_auto_tile_selection_rule(self):
+        """tile=None picks the largest candidate whose grid has >= 8 tiles
+        (the r5 measured rule: 1024 at 4096², 512 at 2048²)."""
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(5))
+        p = Predictor(model, params, bn_state)
+        assert p.tile is None  # auto is the default
+        assert p._auto_tile(4096, 4096) == 1024  # 16 tiles of 1024
+        assert p._auto_tile(3072, 3072) == 1024  # 9 tiles
+        assert p._auto_tile(2048, 2048) == 512   # 4 tiles of 1024 -> drop
+        assert p._auto_tile(1600, 1600) == 512   # smallest tiling inputs
+        assert p._auto_tile(1024, 8192) == 1024  # rectangular: 8 tiles
+
+    def test_auto_tile_end_to_end_exact(self):
+        """The auto-selected tile feeds the same exact grid program: shrink
+        the candidate set so CPU-sized inputs exercise BOTH choices."""
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import Predictor
+        from unet_medical_image_contour_segmentation_tpu.models.unet import unet_t
+
+        model = unet_t(1, 3)
+        params, bn_state = model.init(jax.random.PRNGKey(5))
+        dense = Predictor(model, params, bn_state, tile_threshold=0)
+        auto = Predictor(model, params, bn_state, tile_halo=48,
+                         tile_threshold=1)
+        auto.AUTO_TILES = (64, 96)
+        rng = np.random.default_rng(7)
+        big = rng.random((1, 288, 288, 1), np.float32)  # 9 tiles of 96
+        assert auto._auto_tile(288, 288) == 96
+        np.testing.assert_array_equal(auto.predict_array(big),
+                                      dense.predict_array(big))
+        small = rng.random((1, 160, 224, 1), np.float32)  # 6 of 96 -> 64
+        assert auto._auto_tile(160, 224) == 64
+        np.testing.assert_array_equal(auto.predict_array(small),
+                                      dense.predict_array(small))
+
     @pytest.mark.parametrize("hw", [(97, 131), (65, 193), (64, 64)])
     def test_tiling_exact_at_awkward_sizes(self, hw):
         """Odd/prime-ish sizes (pad on both axes, partial edge tiles)."""

@@ -141,6 +141,40 @@ class TestPredictorInt8:
         pq.predict_array(x)
         assert pq._qparams is qp
 
+    def test_int8_min_batch_gate(self):
+        """Archs with a measured small-batch int8 regression (unet_sa b<4,
+        r5 probe_int8_e2e sweep: b=1 0.967x, b=2 0.949x, b=4 1.160x) serve
+        the FLOAT dense program below INT8_MIN_BATCH — bit-equal to a float
+        Predictor — and int8 at/above it.  Program choice is observable in
+        the step-cache keys."""
+        from unet_medical_image_contour_segmentation_tpu.engine.predict import (
+            Predictor,
+        )
+        from unet_medical_image_contour_segmentation_tpu.models.unet import (
+            unet_sa,
+        )
+
+        model = unet_sa(1, 3)
+        params, state = model.init(jax.random.PRNGKey(11))
+        pq = Predictor(model, params, state, quantize=True)
+        pf = Predictor(model, params, state)
+        assert pq._int8_min_batch() == 4
+        rng = np.random.RandomState(8)
+        calib = rng.rand(2, 64, 64, 1).astype(np.float32)
+        pq.calibrate(calib[..., 0])
+        for b in (1, 2):  # below the gate: float program, bit-equal
+            small = rng.rand(b, 64, 64, 1).astype(np.float32)
+            np.testing.assert_array_equal(pq.predict_array(small),
+                                          pf.predict_array(small))
+        keys = [k for k in pq._step_cache if k[0] == (64, 64)]
+        assert keys and not any(k[2] for k in keys)  # float program below 4
+        four = rng.rand(4, 64, 64, 1).astype(np.float32)
+        pq.predict_array(four)
+        assert any(k[2] for k in pq._step_cache if k[0] == (64, 64))
+        # unet_t has no measured regression: int8 even at b=1
+        model_t, params_t, state_t, pq_t = self._mk()
+        assert pq_t._int8_min_batch() == 1
+
     def test_binary_head(self):
         model, params, state, pq = self._mk(n_classes=1)
         x = np.random.RandomState(7).rand(1, 32, 32, 1).astype(np.float32)

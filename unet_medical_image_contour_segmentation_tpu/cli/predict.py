@@ -27,9 +27,11 @@ def get_args():
     parser.add_argument("--no-postprocess", dest="postprocess", action="store_false",
                         help="Skip cv2 mask cleanup (the reference's -p cannot be disabled; ours can)")
     parser.add_argument("--batch-size", type=int, default=8)
-    parser.add_argument("--tile", type=int, default=512,
+    parser.add_argument("--tile", type=int, default=None,
                         help="Tile size for huge scans (overlapping-window "
-                             "inference; the reference would resize or OOM)")
+                             "inference; the reference would resize or OOM). "
+                             "Default: auto — 512, or 1024 on grids of >= 8 "
+                             "tiles (measured optimal on v5e, r5 sweep)")
     parser.add_argument("--tile-halo", type=int, default=96,
                         help="Tile overlap margin; >= the receptive-field "
                              "radius keeps tiling exact (96 covers UNet_S)")
@@ -115,7 +117,11 @@ def main():
                     "it loads here with no flags and serves int8 directly.")
             predictor = StableHLOPredictor.from_file(
                 args.model, batch_size=args.batch_size)
-            predictor.tile, predictor.tile_halo = args.tile, args.tile_halo
+            # exported programs have a fixed window size: keep the class
+            # default (512) unless the user asks; auto-tile is live-only
+            if args.tile is not None:
+                predictor.tile = args.tile
+            predictor.tile_halo = args.tile_halo
             if args.tile_threshold is not None:
                 predictor.tile_threshold = args.tile_threshold
         else:

@@ -106,7 +106,8 @@ class Predictor:
     _ndev = 1
 
     def __init__(self, model, params, bn_state, batch_size: int = 8,
-                 fold_bn: bool = True, tile: int = 512, tile_halo: int = 96,
+                 fold_bn: bool = True, tile: Optional[int] = None,
+                 tile_halo: int = 96,
                  tile_threshold: Optional[int] = None,
                  num_devices: Optional[int] = None,
                  quantize: bool = False):
@@ -276,20 +277,37 @@ class Predictor:
         if arr.shape[1] // div * div >= m and arr.shape[2] // div * div >= m:
             self.calibrate(arr[:4])
 
+    # minimum batch for the int8 DENSE program, per arch: at small batch the
+    # int8 conv win (HBM bytes halve) shrinks on lane/sublane-starved tensors
+    # while the requant/attention-quant elementwise passes do not.  unet_sa
+    # measured (r5, benchmarks/probe_int8_e2e.py --batches 1,2,4, 512²,
+    # interleaved, 128-step chains): b=1 0.967x, b=2 0.949x, b=4 1.160x,
+    # b=8 1.18x (r4) — int8 only pays from b=4.  Below the threshold the
+    # dense path serves the float program instead (the tiled path always
+    # runs >= tile_batch cores per step, so it is not gated).  Archs absent
+    # from the map have no measured regression.
+    INT8_MIN_BATCH: Dict[str, int] = {"unet_sa": 4}
+
+    def _int8_min_batch(self) -> int:
+        return self.INT8_MIN_BATCH.get(getattr(self.model, "name", ""), 1)
+
     def _step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
-              from_uint8: bool = False):
-        key = (in_hw, out_hw, self._qparams is not None, from_uint8)
+              from_uint8: bool = False, batch: Optional[int] = None):
+        use_int8 = self._qparams is not None and (
+            batch is None or batch >= self._int8_min_batch())
+        key = (in_hw, out_hw, use_int8, from_uint8)
         if key not in self._step_cache:
-            self._step_cache[key] = self._build_step(in_hw, out_hw, from_uint8)
+            self._step_cache[key] = self._build_step(in_hw, out_hw,
+                                                     from_uint8, use_int8)
         return self._step_cache[key]
 
     def _build_step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
-                    from_uint8: bool = False):
+                    from_uint8: bool = False, use_int8: bool = True):
         model = self.model
         n_classes = getattr(model, "n_classes", 0)
         folded = self.folded_params
 
-        if self._qparams is not None and self._wide_ok(*in_hw):
+        if use_int8 and self._qparams is not None and self._wide_ok(*in_hw):
             from ..models.quantize import apply_wide_int8
 
             qparams = self._qparams
@@ -364,6 +382,22 @@ class Predictor:
     # program; rounded up to a device multiple under data-parallel serving so
     # TILES (not redundant batch padding) are what shards over the mesh
     tile_batch = 8
+    # tile=None auto-selects per input: the LARGEST candidate whose grid has
+    # at least AUTO_TILE_MIN_TILES tiles (bigger tiles cut the halo-MAC share
+    # — 704²/512² = 1.89x vs 1216²/1024² = 1.41x — but small grids waste scan
+    # padding and lose core batching).  Measured on v5e (r5,
+    # benchmarks/probe_tile_sweep.py, halo 96, chained): 4096² tile 1024 beats
+    # 512 by 1.13x bf16 / 1.28x int8 (14.77 / 21.41 slices/s); 2048² tile 512
+    # stays best (49.3 vs 46.9 bf16, int8 tied).  Grid-size rule: 4096² has 16
+    # 1024-tiles (wins), 2048² has 4 (loses) — threshold 8 between them.
+    AUTO_TILES = (512, 1024)
+    AUTO_TILE_MIN_TILES = 8
+
+    def _auto_tile(self, h: int, w: int) -> int:
+        for t in sorted(self.AUTO_TILES, reverse=True):
+            if (-(-h // t)) * (-(-w // t)) >= self.AUTO_TILE_MIN_TILES:
+                return t
+        return min(self.AUTO_TILES)
     # escape hatch: False restores the one-dispatch-per-tile host-stitched
     # path (kept for A/B exactness tests and dispatch-overhead probes)
     tile_on_device = True
@@ -533,11 +567,12 @@ class Predictor:
         grid, stitched on device (``_build_tile_grid_step``);
         ``tile_on_device=False`` falls back to one dispatch per tile with
         host stitching."""
-        tile, halo = self.tile, self.tile_halo
         from_uint8 = images.dtype == np.uint8
         if from_uint8 and not self.tile_on_device:
             images, from_uint8 = _norm_uint8_host(images), False
         n, h, w = images.shape[:3]
+        tile = self.tile if self.tile else self._auto_tile(h, w)
+        halo = self.tile_halo
         c = images.shape[3] if images.ndim == 4 else 1
         if images.ndim == 3:
             images = images[..., None]
@@ -603,7 +638,8 @@ class Predictor:
         self._ensure_quantized(images)
         if self._use_tiling(in_hw, out_hw):
             return self._tiled_predict(images)
-        run = self._step(tuple(in_hw), out_hw, images.dtype == np.uint8)
+        run = self._step(tuple(in_hw), out_hw, images.dtype == np.uint8,
+                         batch=images.shape[0])
         if images.ndim == 4 and images.shape[-1] == 1:
             images = images[..., 0]  # rank-3 transfer avoids HBM lane padding
         x, b = self._shard_batch(images)
@@ -712,7 +748,8 @@ class Predictor:
         self._ensure_quantized(images)
         if self._use_tiling(in_hw, in_hw):
             return self._tiled_predict(images)
-        run = self._step(in_hw, in_hw, images.dtype == np.uint8)
+        run = self._step(in_hw, in_hw, images.dtype == np.uint8,
+                         batch=images.shape[0])
         if self._rank3_transfer and images.ndim == 4 and images.shape[-1] == 1:
             images = images[..., 0]
         x, _ = self._shard_batch(images)  # padded rows drop in the zip-post
