@@ -107,6 +107,11 @@ def full_model_ab():
     step is already lane-shuffle copies/reshapes that do NOT shrink with
     dtype, SPPF's reduce_window unfuses in int8 (+0.3 ms), and the deep
     1x1 int8 matmuls run 0.8x.
+
+    r5 re-A/B after the dilated-ConvT fix removed most of those copies:
+    float 3.586 ms (2231 slices/s), full-int8 3.696 (0.97x — still
+    negative; the SPPF unfuse and 0.8x deep 1x1 matmuls remain), proto-int8
+    3.254 (2458 slices/s = 1.10x).  Proto stays the measured optimum.
     """
     from unet_medical_image_contour_segmentation_tpu.engine.train import (
         init_train_state,
