@@ -51,12 +51,18 @@ class TestWideOps:
             got = W.unpack(got, bw // 2)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
-    def test_conv_transpose_exact(self):
+    @pytest.mark.parametrize("impl", ["dilated", "einsum"])
+    @pytest.mark.parametrize("bw", [8, 4, 2, 1])
+    def test_conv_transpose_exact(self, impl, bw):
+        # Both formulations (r5-default dilated conv, r4 per-parity einsum)
+        # must match the dense NHWC ConvT at every block width.
+        fn = {"dilated": W.conv_transpose2_wide_dilated,
+              "einsum": W.conv_transpose2_wide_einsum}[impl]
         x = jnp.asarray(_rand(2, 16, 32, 16, seed=5))
         w = jnp.asarray(_rand(2, 2, 16, 8, seed=6))
         b = jnp.asarray(_rand(8, seed=7))
         want = conv_transpose2d(x, w, b, stride=2)
-        got = W.unpack(W.conv_transpose2_wide(W.pack(x, 8), w, 8, b), 16)
+        got = W.unpack(fn(W.pack(x, bw), w, bw, b), 2 * bw)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
