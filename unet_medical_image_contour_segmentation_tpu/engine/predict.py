@@ -790,7 +790,10 @@ class StableHLOPredictor(Predictor):
             return cls(f.read(), batch_size=batch_size)
 
     def _build_step(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
-                    from_uint8: bool = False):
+                    from_uint8: bool = False, use_int8: bool = False):
+        # use_int8 is decided at EXPORT time (export_stablehlo_int8 bakes the
+        # quantized program); the live-quantization flag never applies here
+        # (self._qparams stays None, so the base _step always passes False).
         exported = self.exported
         assert not from_uint8, "uint8 input is host-normalized for StableHLO"
 
